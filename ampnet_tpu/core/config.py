@@ -1,0 +1,143 @@
+"""Unified config dataclasses.
+
+The reference mixes module-level globals, ARGS dicts, and argparse
+(reference: experiments/cora_benchmark_graphsaint.py:26-31,
+synthetic_benchmark/synthetic_training_modular.py:124-137,
+synthetic_benchmark/synthetic_rgb.py:153-175). Here one dataclass layer
+feeds both programmatic use and the CLI drivers.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class AttentionConfig:
+    """Per-edge multi-head cross-attention settings.
+
+    softmax=True is what the reference actually runs (stock
+    nn.MultiheadAttention, src/ampnet/conv/amp_conv.py:18-22);
+    softmax=False is the declared intent of the vendored no-softmax
+    functional (src/ampnet/conv/custom_multihead_attn_forward.py:4179-4180).
+    """
+
+    embed_dim: int = 128
+    num_heads: int = 4
+    softmax: bool = True
+    dropout_rate: float = 0.0
+    bias: bool = True
+    use_pallas: bool = False   # fused Pallas kernel vs XLA einsum path
+
+
+@dataclass(frozen=True)
+class TokenizerConfig:
+    """Feature tokenization frontend (reference: amp_gcn.py:120-237).
+
+    frontend='table':  learnable feature-identity embedding table
+    frontend='pca':    PCA-of-transpose feature embedding
+    scaler='batch' re-fits the z-scoring on every batch like the reference
+    (amp_gcn.py:122-124); 'precomputed' uses dataset-level stats (the fixed
+    version of that quirk); 'none' disables.
+    """
+
+    num_node_features: int = 1433
+    feat_emb_dim: int = 127
+    val_emb_dim: int = 1
+    num_sampled_vectors: int = 20
+    downsample: bool = True
+    frontend: str = "table"          # 'table' | 'pca'
+    scaler: str = "batch"            # 'batch' | 'precomputed' | 'none'
+    balanced_sampling: bool = False  # 50/50 present/absent, w/o replacement
+    feature_repeats: int = 5         # XOR tiled-table variant (amp_gcn.py:168-180)
+
+    @property
+    def embed_dim(self) -> int:
+        return self.feat_emb_dim + self.val_emb_dim
+
+
+@dataclass(frozen=True)
+class AMPGCNConfig:
+    """Flagship model config (reference: src/ampnet/module/amp_gcn.py:21-35)."""
+
+    embedding_dim: int = 128
+    num_heads: int = 4
+    num_node_features: int = 1433
+    num_sampled_vectors: int = 20
+    output_dim: int = 7
+    softmax_out: bool = True
+    feat_emb_dim: int = 127
+    val_emb_dim: int = 1
+    downsample_feature_vectors: bool = True
+    average_pooling: bool = True      # mean-pool tokens vs CLS token
+    dropout_rate: float = 0.1
+    dropout_adj_rate: float = 0.1
+    feature_repeats: int = 5
+    attn_softmax: bool = True
+    use_pallas: bool = False
+    frontend: str = "table"
+    scaler: str = "batch"
+
+    def __post_init__(self):
+        if self.embedding_dim != self.feat_emb_dim + self.val_emb_dim:
+            raise ValueError(
+                "Feature and value dimensions do not add up to total embedding dimension"
+            )
+
+    def tokenizer(self) -> TokenizerConfig:
+        return TokenizerConfig(
+            num_node_features=self.num_node_features,
+            feat_emb_dim=self.feat_emb_dim,
+            val_emb_dim=self.val_emb_dim,
+            num_sampled_vectors=self.num_sampled_vectors,
+            downsample=self.downsample_feature_vectors,
+            frontend=self.frontend,
+            scaler=self.scaler,
+            feature_repeats=self.feature_repeats,
+        )
+
+    def attention(self) -> AttentionConfig:
+        return AttentionConfig(
+            embed_dim=self.embedding_dim,
+            num_heads=self.num_heads,
+            softmax=self.attn_softmax,
+            use_pallas=self.use_pallas,
+        )
+
+
+@dataclass(frozen=True)
+class SaintConfig:
+    """GraphSAINT random-walk sampler settings
+    (reference: experiments/cora_benchmark_graphsaint.py:81-82)."""
+
+    batch_size: int = 8         # number of walk roots
+    walk_length: int = 150
+    num_steps: int = 200        # iterations per epoch
+    sample_coverage: int = 100  # normalization pre-pass coverage
+    pad_nodes_to: Optional[int] = None
+    pad_edges_to: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer / loop settings (reference: cora_benchmark_graphsaint.py:84-92,
+    cora_benchmark_full.py:50-58)."""
+
+    learning_rate: float = 0.1
+    weight_decay: float = 1e-4
+    epochs: int = 50
+    seed: int = 1
+    grad_clip: Optional[float] = None
+    # CosineAnnealingWarmRestarts, stepped per iteration
+    # (cora_benchmark_graphsaint.py:85,116); None disables.
+    cosine_t0: Optional[int] = 400
+    cosine_t_mult: int = 2
+    eta_min: float = 0.0
+    checkpoint_every: int = 10   # epochs
+    log_every: int = 1
+    run_dir: Optional[str] = None
+
+
+def replace(cfg, **kw):
+    return dataclasses.replace(cfg, **kw)

@@ -1,0 +1,137 @@
+"""AMPGCN — the flagship model: tokenize -> 2x AMPConv -> pool -> classify.
+
+Forward pipeline mirrors the reference exactly
+(src/ampnet/module/amp_gcn.py:239-276):
+  edge dropout -> feature tokenization -> dropout -> AMPConv1 -> ReLU ->
+  dropout -> AMPConv2 -> ReLU -> dropout -> token mean-pool (or CLS) ->
+  linear head -> log_softmax (or sigmoid).
+
+Differences, by design (SURVEY §7.2):
+  * All randomness is keyed ('sample' for token sampling, 'dropout' for
+    dropouts, 'edges' for adjacency dropout).
+  * Attention weights, sampled indices, and per-conv embeddings are
+    returned as aux outputs instead of cached on the module
+    (amp_gcn.py:244,249,260 / amp_conv.py:12-13).
+  * When average_pooling=False the CLS token is actually prepended and
+    pooled; the reference declares a cls_token (amp_gcn.py:63-65) but
+    never inserts it, pooling the first sampled token instead
+    (amp_gcn.py:270) — a defect we fix rather than replicate.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from ampnet_tpu.core.config import AMPGCNConfig
+from ampnet_tpu.core.graph import Graph
+from ampnet_tpu.models.layers import AMPConv, dropout_edges
+from ampnet_tpu.models.tokenizer import FeatureTokenizer
+
+
+@struct.dataclass
+class ModelOutput:
+    logits: jnp.ndarray                      # [N, C] log-probs (or sigmoid probs)
+    aux: Dict[str, Any] = struct.field(default_factory=dict)
+
+
+class AMPGCN(nn.Module):
+    config: AMPGCNConfig
+    pca_embedding: Optional[jnp.ndarray] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        graph: Graph,
+        deterministic: bool = True,
+        sampled_idx: Optional[jnp.ndarray] = None,
+        return_aux: bool = True,
+    ) -> ModelOutput:
+        cfg = self.config
+        d = cfg.embedding_dim
+        edge_mask = graph.edge_mask
+
+        # Edge dropout (dropout_adj, amp_gcn.py:241) — training only.
+        if not deterministic and cfg.dropout_adj_rate > 0.0:
+            edge_mask = dropout_edges(
+                self.make_rng("edges"), edge_mask, cfg.dropout_adj_rate
+            )
+
+        tokens, sidx = FeatureTokenizer(
+            cfg.tokenizer(), pca_embedding=self.pca_embedding, name="tokenizer"
+        )(graph.x, node_mask=graph.node_mask, sampled_idx=sampled_idx)
+        # tokens: [N, S, D]
+
+        if not cfg.average_pooling:
+            cls = self.param(
+                "cls_token", nn.initializers.normal(stddev=0.02), (1, 1, d)
+            )
+            tokens = jnp.concatenate(
+                [jnp.broadcast_to(cls, (tokens.shape[0], 1, d)), tokens], axis=1
+            )
+
+        drop = lambda key_name, x: nn.Dropout(
+            rate=cfg.dropout_rate, deterministic=deterministic
+        )(x)
+
+        x = drop("d1", tokens)
+        conv1 = AMPConv(
+            embed_dim=d,
+            num_heads=cfg.num_heads,
+            softmax=cfg.attn_softmax,
+            use_pallas=cfg.use_pallas,
+            name="conv1",
+        )
+        x, attn1 = conv1(
+            x, graph.senders, graph.receivers, edge_mask,
+            deterministic=deterministic, return_weights=return_aux,
+        )
+        conv1_embedding = x
+        x = nn.relu(x)
+
+        x = drop("d2", x)
+        conv2 = AMPConv(
+            embed_dim=d,
+            num_heads=cfg.num_heads,
+            softmax=cfg.attn_softmax,
+            use_pallas=cfg.use_pallas,
+            name="conv2",
+        )
+        x, attn2 = conv2(
+            x, graph.senders, graph.receivers, edge_mask,
+            deterministic=deterministic, return_weights=return_aux,
+        )
+        conv2_embedding = x
+        x = nn.relu(x)
+
+        x = drop("d3", x)
+        if cfg.average_pooling:
+            pooled = jnp.mean(x, axis=1)       # mean over tokens (amp_gcn.py:268)
+        else:
+            pooled = x[:, 0]                   # CLS token (amp_gcn.py:270)
+
+        logits = nn.Dense(
+            cfg.output_dim,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="final_linear_out",
+        )(pooled)
+
+        if cfg.softmax_out:
+            out = jax.nn.log_softmax(logits, axis=-1)
+        else:
+            out = jax.nn.sigmoid(logits)
+
+        aux: Dict[str, Any] = {}
+        if return_aux:
+            aux = {
+                "sampled_idx": sidx,
+                "attn_weights_1": attn1,
+                "attn_weights_2": attn2,
+                "conv1_embedding": conv1_embedding,
+                "conv2_embedding": conv2_embedding,
+                "pooled": pooled,
+            }
+        return ModelOutput(logits=out, aux=aux)

@@ -1,0 +1,134 @@
+"""Feature-tokenization math: z-scoring + key-driven token sampling.
+
+Replaces the reference's per-node Python loop + sklearn scaler
+(reference: src/ampnet/module/amp_gcn.py:120-183) with vectorized,
+device-resident ops:
+
+  * uniform-over-present-features sampling WITH replacement
+    (amp_gcn.py:132-135: np.random.choice over nonzero indices)
+    == categorical over a masked uniform-logits matrix;
+  * balanced 50/50 present/absent sampling WITHOUT replacement
+    (amp_gcn.py:208-231) == Gumbel top-k over weighted logits
+    (Plackett-Luce — the same distribution np.random.choice(replace=False,
+    p=...) draws from);
+  * PCA-of-transpose feature-identity embedding (amp_gcn.py:185-206)
+    via an SVD computed once per dataset, not per forward.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NEG_INF = -1e30
+
+
+def standardize(
+    x: jnp.ndarray,
+    mean: Optional[jnp.ndarray] = None,
+    std: Optional[jnp.ndarray] = None,
+    node_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Column z-scoring with sklearn StandardScaler semantics
+    (population std, zero-variance columns scaled by 1 —
+    reference fits per batch at amp_gcn.py:122-124).
+
+    If mean/std are given they are used (the 'precomputed' fix for the
+    reference's refit-at-eval quirk); otherwise stats come from the
+    masked-in rows of this batch.
+    """
+    if mean is None or std is None:
+        if node_mask is not None:
+            w = node_mask.astype(x.dtype)[:, None]
+            n = jnp.maximum(jnp.sum(w), 1.0)
+            mean = jnp.sum(x * w, axis=0) / n
+            var = jnp.sum(w * (x - mean) ** 2, axis=0) / n
+        else:
+            mean = jnp.mean(x, axis=0)
+            var = jnp.var(x, axis=0)
+        std = jnp.sqrt(var)
+    scale = jnp.where(std == 0.0, 1.0, std)
+    return (x - mean) / scale
+
+
+def sample_present_features(
+    key: jax.Array,
+    x: jnp.ndarray,
+    num_samples: int,
+) -> jnp.ndarray:
+    """Per node, sample `num_samples` indices uniformly from the node's
+    nonzero features, with replacement (amp_gcn.py:132-135).
+
+    Nodes with no nonzero feature (the reference would crash on these)
+    fall back to uniform over all features. Returns [N, num_samples] int32.
+    """
+    present = x != 0  # [N, F]
+    any_present = jnp.any(present, axis=1, keepdims=True)
+    logits = jnp.where(present | ~any_present, 0.0, _NEG_INF)
+    return jax.random.categorical(key, logits[:, None, :], axis=-1, shape=(x.shape[0], num_samples)).astype(jnp.int32)
+
+
+def balanced_sample_features(
+    key: jax.Array,
+    x: jnp.ndarray,
+    num_samples: int,
+) -> jnp.ndarray:
+    """Per node, sample without replacement, probability mass split 50/50
+    between present and absent features (amp_gcn.py:208-231), via Gumbel
+    top-k. Returns [N, num_samples] int32.
+    """
+    n, f = x.shape
+    present = x != 0
+    n_present = jnp.sum(present, axis=1, keepdims=True)
+    n_absent = f - n_present
+    # Guard empty groups: all mass to the other group.
+    p_present = jnp.where(n_present > 0, 0.5 / jnp.maximum(n_present, 1), 0.0)
+    p_absent = jnp.where(n_absent > 0, 0.5 / jnp.maximum(n_absent, 1), 0.0)
+    probs = jnp.where(present, p_present, p_absent)
+    probs = probs / jnp.sum(probs, axis=1, keepdims=True)
+    logp = jnp.log(jnp.maximum(probs, 1e-30))
+    gumbel = jax.random.gumbel(key, (n, f))
+    _, idx = jax.lax.top_k(logp + gumbel, num_samples)
+    return idx.astype(jnp.int32)
+
+
+def gather_tokens(
+    x_norm: jnp.ndarray,
+    sampled_idx: jnp.ndarray,
+    feat_embedding: jnp.ndarray,
+) -> jnp.ndarray:
+    """token[n, s] = concat(feat_embedding[idx[n,s]], x_norm[n, idx[n,s]])
+    (amp_gcn.py:145-146). Returns [N, S, feat_dim + 1]."""
+    emb = feat_embedding[sampled_idx]                       # [N, S, feat_dim]
+    vals = jnp.take_along_axis(x_norm, sampled_idx, axis=1)  # [N, S]
+    return jnp.concatenate([emb, vals[..., None]], axis=-1)
+
+
+def tile_all_tokens(
+    x_norm: jnp.ndarray,
+    feat_embedding: jnp.ndarray,
+    feature_repeats: int,
+) -> jnp.ndarray:
+    """Non-downsampled XOR path: tile the whole table `feature_repeats`
+    times and attach every feature value (amp_gcn.py:168-180).
+    Returns [N, table_rows * feature_repeats, feat_dim + 1]."""
+    n = x_norm.shape[0]
+    table = jnp.tile(feat_embedding, (feature_repeats, 1))  # [S, feat_dim]
+    s = table.shape[0]
+    emb = jnp.broadcast_to(table[None], (n, s, table.shape[1]))
+    vals = x_norm[:, :s]
+    return jnp.concatenate([emb, vals[..., None]], axis=-1)
+
+
+def pca_feature_embedding(x: np.ndarray, n_components: int) -> np.ndarray:
+    """PCA of the transposed feature matrix: rows are features, columns are
+    nodes (amp_gcn.py:185-206 / utils/preprocess.py:8-26). Computed once per
+    dataset on host. Returns [F, n_components] float32."""
+    xt = np.asarray(x, dtype=np.float64).T      # [F, N]
+    xt = xt - xt.mean(axis=0, keepdims=True)    # sklearn PCA centers columns
+    # economy SVD; components = right singular vectors
+    u, sv, _ = np.linalg.svd(xt, full_matrices=False)
+    proj = u[:, :n_components] * sv[:n_components]
+    return proj.astype(np.float32)

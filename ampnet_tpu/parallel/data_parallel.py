@@ -1,0 +1,86 @@
+"""Data-parallel training over a mesh 'data' axis.
+
+The corrected version of the reference's DDP intent (SURVEY §3.3): each
+shard trains on its own GraphSAINT subgraph stream with identical
+replicated parameters; the mean-gradient all-reduce is inserted by XLA
+(psum over 'data') because params are replicated while the batch is
+sharded — no hand-written comm (vs gloo DDP at
+experiments/cora_benchmark_graphsaint_distributed.py:25-28,63; its
+`model(data)` bug at :83 defeated gradient sync entirely).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ampnet_tpu.core.graph import Graph
+from ampnet_tpu.train.losses import masked_accuracy, masked_mean_nll, saint_weighted_nll
+from ampnet_tpu.train.state import TrainState, split_rngs
+
+
+def stack_graphs(graphs) -> Graph:
+    """Stack equally-padded Graphs into one with a leading batch axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *graphs)
+
+
+def shard_batch(batch: Graph, mesh: Mesh) -> Graph:
+    """Place a stacked Graph batch with the leading axis over 'data'."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def make_dp_train_step(
+    model: nn.Module,
+    mesh: Mesh,
+    loss_mode: str = "saint",
+) -> Callable[[TrainState, Graph], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Jitted DP step: batch Graph has leading axis = mesh 'data' size.
+
+    Per-shard losses are averaged; gradients w.r.t. replicated params are
+    all-reduced by the partitioner over 'data' (and 'graph' if present).
+    """
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+
+    def per_graph_loss(params, g: Graph, rngs):
+        out = model.apply(
+            {"params": params}, g, deterministic=False, return_aux=False, rngs=rngs
+        )
+        if loss_mode == "saint":
+            loss = saint_weighted_nll(out.logits, g.y, g.node_norm, g.train_mask & g.node_mask)
+        else:
+            loss = masked_mean_nll(out.logits, g.y, g.train_mask & g.node_mask)
+        acc = masked_accuracy(out.logits, g.y, g.train_mask & g.node_mask)
+        return loss, acc
+
+    @partial(
+        jax.jit,
+        in_shardings=(repl, data_sh),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    def step(state: TrainState, batch: Graph):
+        n_shards = batch.x.shape[0]
+        new_rng, _ = split_rngs(state.rng)
+        # independent rng per shard, derived from the state key
+        shard_keys = jax.vmap(
+            lambda i: split_rngs(jax.random.fold_in(state.rng, i))[1]
+        )(jnp.arange(n_shards))
+
+        def mean_loss(params):
+            losses, accs = jax.vmap(lambda g, ks: per_graph_loss(params, g, ks))(
+                batch, shard_keys
+            )
+            return jnp.mean(losses), jnp.mean(accs)
+
+        (loss, acc), grads = jax.value_and_grad(mean_loss, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads, rng=new_rng)
+        return new_state, {"loss": loss, "train_acc": acc}
+
+    return step

@@ -1,0 +1,243 @@
+"""Edge-partitioned (graph-sharded) AMPGCN training — the scale-out path.
+
+The reference never partitions the graph (whole graph or subgraph per
+device — SURVEY §2.6); this is the framework's north-star strategy for
+graphs that outgrow one chip:
+
+  * nodes are partitioned into contiguous blocks over the mesh 'graph'
+    axis (global id = shard * N_loc + local id);
+  * each edge lives on the shard that OWNS ITS RECEIVER, so mean
+    aggregation is entirely local (a streaming segment reduction);
+  * the halo/boundary exchange is an all-gather of the K/V-projected
+    node tokens over ICI; gathering K/V *after* projection, not raw
+    features, keeps traffic at N*S*D per conv and lets XLA overlap the
+    collective with the local QKV matmuls;
+  * reverse-mode AD through shard_map turns the all-gather into a
+    reduce-scatter of boundary-token gradients automatically — no
+    hand-written comm.
+
+The local forward mirrors models/amp_gcn.py math parameter-for-parameter
+(same pytree), so checkpoints are interchangeable between the
+single-chip and partitioned paths; parity is tested in
+tests/test_edge_partition.py.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ampnet_tpu.core.config import AMPGCNConfig
+from ampnet_tpu.core.graph import Graph
+from ampnet_tpu.ops.edge_attention import MHAParams, attention_core
+from ampnet_tpu.ops.segment import segment_count, segment_sum
+from ampnet_tpu.ops.tokenize import gather_tokens, sample_present_features
+
+try:  # jax>=0.6 stable location
+    from jax import shard_map as _shard_map_mod
+    shard_map = _shard_map_mod.shard_map if hasattr(_shard_map_mod, "shard_map") else _shard_map_mod
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+class PartitionedGraph(NamedTuple):
+    """Per-shard arrays, stacked on a leading shard axis."""
+
+    x: jnp.ndarray              # [P, N_loc, F]
+    y: jnp.ndarray              # [P, N_loc]
+    node_mask: jnp.ndarray      # [P, N_loc]
+    train_mask: jnp.ndarray     # [P, N_loc]
+    test_mask: jnp.ndarray      # [P, N_loc]
+    node_norm: jnp.ndarray      # [P, N_loc]
+    senders_global: jnp.ndarray   # [P, E_loc] int32 (global node ids)
+    receivers_local: jnp.ndarray  # [P, E_loc] int32 (local node ids)
+    edge_mask: jnp.ndarray        # [P, E_loc]
+
+    @property
+    def num_shards(self) -> int:
+        return self.x.shape[0]
+
+
+def partition_graph(g: Graph, n_shards: int) -> PartitionedGraph:
+    """Host-side partitioner: contiguous node blocks; edges by receiver."""
+    n_pad = g.num_nodes_padded
+    n_loc = -(-n_pad // n_shards)
+    n_tot = n_loc * n_shards
+
+    def pad_nodes(a, fill):
+        a = np.asarray(a)
+        out = np.full((n_tot,) + a.shape[1:], fill, dtype=a.dtype)
+        out[: a.shape[0]] = a
+        return out.reshape((n_shards, n_loc) + a.shape[1:])
+
+    senders = np.asarray(g.senders)
+    receivers = np.asarray(g.receivers)
+    emask = np.asarray(g.edge_mask)
+    shard_of_edge = receivers // n_loc
+    counts = np.bincount(shard_of_edge[emask], minlength=n_shards)
+    e_loc = max(int(counts.max()) if counts.size else 1, 1)
+    e_loc = ((e_loc + 127) // 128) * 128
+
+    sg = np.zeros((n_shards, e_loc), np.int32)
+    rl = np.zeros((n_shards, e_loc), np.int32)
+    em = np.zeros((n_shards, e_loc), bool)
+    for p in range(n_shards):
+        sel = emask & (shard_of_edge == p)
+        k = int(sel.sum())
+        sg[p, :k] = senders[sel]
+        rl[p, :k] = receivers[sel] % n_loc
+        em[p, :k] = True
+
+    zeros = np.zeros(n_pad, np.int32)
+    return PartitionedGraph(
+        x=jnp.asarray(pad_nodes(g.x, 0.0)),
+        y=jnp.asarray(pad_nodes(np.asarray(g.y) if g.y is not None else zeros, 0)),
+        node_mask=jnp.asarray(pad_nodes(g.node_mask, False)),
+        train_mask=jnp.asarray(
+            pad_nodes(np.asarray(g.train_mask) if g.train_mask is not None else zeros.astype(bool), False)
+        ),
+        test_mask=jnp.asarray(
+            pad_nodes(np.asarray(g.test_mask) if g.test_mask is not None else zeros.astype(bool), False)
+        ),
+        node_norm=jnp.asarray(
+            pad_nodes(np.asarray(g.node_norm) if g.node_norm is not None else np.ones(n_pad, np.float32), 0.0)
+        ),
+        senders_global=jnp.asarray(sg),
+        receivers_local=jnp.asarray(rl),
+        edge_mask=jnp.asarray(em),
+    )
+
+
+def _mha_params(conv_params) -> MHAParams:
+    return MHAParams(
+        w_qkv=conv_params["w_qkv"],
+        b_qkv=conv_params["b_qkv"],
+        w_out=conv_params["w_out"],
+        b_out=conv_params["b_out"],
+    )
+
+
+def _sharded_amp_conv(
+    tokens_local: jnp.ndarray,     # [N_loc, S, D]
+    senders_global: jnp.ndarray,   # [E_loc]
+    receivers_local: jnp.ndarray,  # [E_loc]
+    edge_mask: jnp.ndarray,        # [E_loc]
+    params: MHAParams,
+    num_heads: int,
+    softmax: bool,
+    axis: str = "graph",
+) -> jnp.ndarray:
+    """One AMPConv with all-gather halo exchange over `axis`."""
+    n_loc, s, d = tokens_local.shape
+    qkv = tokens_local @ params.w_qkv + params.b_qkv
+    q_nodes = qkv[..., :d]
+    kv_local = qkv[..., d:]                       # [N_loc, S, 2D] packed k|v
+    # halo exchange: projected K/V for every node, concatenated shard-major
+    kv_all = jax.lax.all_gather(kv_local, axis, axis=0, tiled=True)  # [N_tot, S, 2D]
+
+    q = q_nodes[receivers_local]
+    kv_e = kv_all[senders_global]
+    k, v = kv_e[..., :d], kv_e[..., d:]
+    msg, _ = attention_core(q, k, v, num_heads, softmax=softmax)
+
+    total = segment_sum(msg, receivers_local, n_loc, edge_mask)
+    count = segment_count(receivers_local, n_loc, edge_mask)
+    mean = total / jnp.maximum(count, 1.0)[:, None, None]
+    out = mean @ params.w_out + params.b_out
+    return jnp.where((count > 0)[:, None, None], out, 0.0)
+
+
+def amp_gcn_forward_local(
+    params: Dict,
+    shard: PartitionedGraph,   # leaves WITHOUT the leading shard axis
+    cfg: AMPGCNConfig,
+    sample_key: jax.Array,
+    axis: str = "graph",
+) -> jnp.ndarray:
+    """Per-shard AMPGCN forward (deterministic path: dropouts off), with
+    global z-scoring via psum and two halo-exchanged convs. Mirrors
+    models/amp_gcn.py / reference amp_gcn.py:239-276."""
+    x = shard.x
+    # global scaler stats (the reference z-scores over the whole batch)
+    w = shard.node_mask.astype(x.dtype)[:, None]
+    n_glob = jax.lax.psum(jnp.sum(w), axis)
+    mean = jax.lax.psum(jnp.sum(x * w, axis=0), axis) / jnp.maximum(n_glob, 1.0)
+    var = jax.lax.psum(jnp.sum(w * (x - mean) ** 2, axis=0), axis) / jnp.maximum(n_glob, 1.0)
+    std = jnp.sqrt(var)
+    x_norm = (x - mean) / jnp.where(std == 0.0, 1.0, std)
+
+    sidx = sample_present_features(sample_key, x, cfg.num_sampled_vectors)
+    table = params["tokenizer"]["feature_embedding_table"]
+    tokens = gather_tokens(x_norm, sidx, table)
+
+    h = _sharded_amp_conv(
+        tokens, shard.senders_global, shard.receivers_local, shard.edge_mask,
+        _mha_params(params["conv1"]), cfg.num_heads, cfg.attn_softmax, axis,
+    )
+    h = jax.nn.relu(h)
+    h = _sharded_amp_conv(
+        h, shard.senders_global, shard.receivers_local, shard.edge_mask,
+        _mha_params(params["conv2"]), cfg.num_heads, cfg.attn_softmax, axis,
+    )
+    h = jax.nn.relu(h)
+    pooled = jnp.mean(h, axis=1)
+    logits = pooled @ params["final_linear_out"]["kernel"] + params["final_linear_out"]["bias"]
+    return jax.nn.log_softmax(logits, axis=-1)
+
+
+def make_partitioned_train_step(
+    cfg: AMPGCNConfig,
+    mesh: Mesh,
+    learning_rate_tx,
+    loss_mode: str = "full",
+):
+    """Jitted edge-partitioned training step over the 'graph' mesh axis."""
+
+    pspec = PartitionedGraph(
+        x=P("graph"), y=P("graph"), node_mask=P("graph"), train_mask=P("graph"),
+        test_mask=P("graph"), node_norm=P("graph"), senders_global=P("graph"),
+        receivers_local=P("graph"), edge_mask=P("graph"),
+    )
+
+    def local_loss(params, pg: PartitionedGraph, key):
+        shard = PartitionedGraph(*(leaf[0] for leaf in pg))  # strip shard axis
+        my_key = jax.random.fold_in(key, jax.lax.axis_index("graph"))
+        logp = amp_gcn_forward_local(params, shard, cfg, my_key)
+        m = (shard.train_mask & shard.node_mask).astype(logp.dtype)
+        nll = -jnp.take_along_axis(logp, shard.y[:, None].astype(jnp.int32), axis=1)[:, 0]
+        if loss_mode == "saint":
+            loss = jax.lax.psum(jnp.sum(nll * shard.node_norm * m), "graph")
+        else:
+            total = jax.lax.psum(jnp.sum(nll * m), "graph")
+            count = jax.lax.psum(jnp.sum(m), "graph")
+            loss = total / jnp.maximum(count, 1.0)
+        correct = jax.lax.psum(
+            jnp.sum((jnp.argmax(logp, -1) == shard.y).astype(jnp.float32) * m), "graph"
+        )
+        n = jax.lax.psum(jnp.sum(m), "graph")
+        return loss, correct / jnp.maximum(n, 1.0)
+
+    sharded_loss = shard_map(
+        local_loss,
+        mesh=mesh,
+        in_specs=(P(), pspec, P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(params, opt_state, pg: PartitionedGraph, key):
+        (loss, acc), grads = jax.value_and_grad(
+            lambda p: sharded_loss(p, pg, key), has_aux=True
+        )(params)
+        updates, opt_state = learning_rate_tx.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "train_acc": acc}
+
+    return step

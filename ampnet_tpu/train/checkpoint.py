@@ -1,0 +1,64 @@
+"""Checkpoint / resume.
+
+The reference saves {'epoch', 'model_state_dict', 'validation_loss'} via
+torch.save every K epochs (cora_benchmark_graphsaint.py:138-143) and does
+NOT checkpoint optimizer or RNG state (SURVEY §5.4). Here checkpoints
+carry params + opt_state + PRNG key + step so resume is exact.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import jax
+from flax import serialization
+
+
+def save_checkpoint(
+    path: str,
+    state,
+    epoch: int,
+    validation_loss: Optional[float] = None,
+    extra: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Serialize a TrainState (params, opt_state, step, rng) + metadata."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "epoch": epoch,
+        "validation_loss": validation_loss,
+        "state_bytes": serialization.to_bytes(state),
+        "extra": extra or {},
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(path: str, state_template) -> Dict[str, Any]:
+    """Restore into a freshly-created TrainState of identical structure."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    state = serialization.from_bytes(state_template, payload["state_bytes"])
+    return {
+        "state": state,
+        "epoch": payload["epoch"],
+        "validation_loss": payload["validation_loss"],
+        "extra": payload.get("extra", {}),
+    }
+
+
+def save_params(path: str, params) -> str:
+    """Params-only checkpoint (for eval-time reload, e.g. the attention
+    visualizers — experiments/visualize_cora_attn_coeffs.py:200-203)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+    return path
+
+
+def load_params(path: str, params_template):
+    with open(path, "rb") as f:
+        return serialization.from_bytes(params_template, f.read())

@@ -1,0 +1,64 @@
+"""Loss functions with the reference's exact semantics (SURVEY §7.2.7)."""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+def nll_loss(log_probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Per-node negative log likelihood (F.nll_loss reduction='none')."""
+    return -jnp.take_along_axis(log_probs, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+
+
+def masked_mean_nll(
+    log_probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Full-batch loss: mean NLL over masked nodes
+    (experiments/cora_benchmark_full.py:64)."""
+    per_node = nll_loss(log_probs, labels)
+    m = mask.astype(log_probs.dtype)
+    return jnp.sum(per_node * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def saint_weighted_nll(
+    log_probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    node_norm: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """GraphSAINT loss: sum over train-mask nodes of node_norm-weighted NLL
+    (experiments/cora_benchmark_graphsaint.py:105-106)."""
+    per_node = nll_loss(log_probs, labels)
+    m = mask.astype(log_probs.dtype)
+    return jnp.sum(per_node * node_norm * m)
+
+
+def bce_with_logits(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Binary cross entropy for the sigmoid-out / XOR heads."""
+    logits = logits.reshape(-1)
+    targets = targets.reshape(-1).astype(logits.dtype)
+    per = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    if mask is not None:
+        m = mask.reshape(-1).astype(logits.dtype)
+        return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return jnp.mean(per)
+
+
+def masked_accuracy(
+    log_probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Accuracy over masked nodes (src/ampnet/utils/utils.py accuracy)."""
+    pred = jnp.argmax(log_probs, axis=-1)
+    correct = (pred == labels) & mask
+    return jnp.sum(correct.astype(jnp.float32)) / jnp.maximum(
+        jnp.sum(mask.astype(jnp.float32)), 1.0
+    )

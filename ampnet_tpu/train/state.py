@@ -1,0 +1,125 @@
+"""Train state and step builders.
+
+One jitted step per (model, loss) pair; the padded static-shape Graph
+guarantees a single compilation across all GraphSAINT subgraphs.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+from flax.training import train_state
+
+from ampnet_tpu.core.graph import Graph
+from ampnet_tpu.train.losses import (
+    masked_accuracy,
+    masked_mean_nll,
+    saint_weighted_nll,
+)
+
+
+class TrainState(train_state.TrainState):
+    """Flax TrainState + the model PRNG key threaded through steps."""
+
+    rng: jax.Array = None
+
+
+def split_rngs(rng: jax.Array) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Advance the state key and derive per-collection keys
+    ('sample' = token sampling, 'dropout', 'edges' = adjacency dropout)."""
+    rng, k1, k2, k3 = jax.random.split(rng, 4)
+    return rng, {"sample": k1, "dropout": k2, "edges": k3}
+
+
+def create_train_state(
+    model: nn.Module,
+    graph: Graph,
+    tx: optax.GradientTransformation,
+    seed: int = 0,
+) -> TrainState:
+    rng = jax.random.PRNGKey(seed)
+    init_rng, state_rng = jax.random.split(rng)
+    rngs = {"params": init_rng, "sample": init_rng, "dropout": init_rng, "edges": init_rng}
+    variables = model.init(rngs, graph, deterministic=True, return_aux=False)
+    return TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx, rng=state_rng
+    )
+
+
+def make_train_step(
+    model: nn.Module,
+    loss_mode: str = "full",  # 'full' | 'saint'
+) -> Callable[[TrainState, Graph], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build a jitted training step.
+
+    loss_mode='full':  masked mean NLL (cora_benchmark_full.py:64)
+    loss_mode='saint': node_norm-weighted NLL sum
+                       (cora_benchmark_graphsaint.py:105-106)
+    """
+
+    def loss_from_output(out_logits, graph: Graph):
+        if loss_mode == "saint":
+            return saint_weighted_nll(
+                out_logits, graph.y, graph.node_norm, graph.train_mask & graph.node_mask
+            )
+        return masked_mean_nll(out_logits, graph.y, graph.train_mask & graph.node_mask)
+
+    @jax.jit
+    def step(state: TrainState, graph: Graph):
+        new_rng, rngs = split_rngs(state.rng)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params},
+                graph,
+                deterministic=False,
+                return_aux=False,
+                rngs=rngs,
+            )
+            return loss_from_output(out.logits, graph), out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads, rng=new_rng)
+        metrics = {
+            "loss": loss,
+            "train_acc": masked_accuracy(out.logits, graph.y, graph.train_mask & graph.node_mask),
+        }
+        if graph.test_mask is not None:
+            metrics["test_acc"] = masked_accuracy(
+                out.logits, graph.y, graph.test_mask & graph.node_mask
+            )
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(model: nn.Module) -> Callable[[Any, Graph, jax.Array], Dict[str, jnp.ndarray]]:
+    """Deterministic forward (dropouts off; token sampling still keyed —
+    the reference samples at eval too, amp_gcn.py:135)."""
+
+    @jax.jit
+    def step(params, graph: Graph, rng: jax.Array):
+        out = model.apply(
+            {"params": params},
+            graph,
+            deterministic=True,
+            return_aux=False,
+            rngs={"sample": rng},
+        )
+        metrics = {}
+        for name, mask in [
+            ("train", graph.train_mask),
+            ("val", graph.val_mask),
+            ("test", graph.test_mask),
+        ]:
+            if mask is not None:
+                metrics[f"{name}_acc"] = masked_accuracy(
+                    out.logits, graph.y, mask & graph.node_mask
+                )
+                metrics[f"{name}_loss"] = masked_mean_nll(out.logits, graph.y, mask & graph.node_mask)
+        return metrics
+
+    return step

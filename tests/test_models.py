@@ -1,0 +1,155 @@
+"""Model forward/backward shape and semantics tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ampnet_tpu.core.config import AMPGCNConfig
+from ampnet_tpu.core.graph import from_arrays
+from ampnet_tpu.models import (
+    AMPGCN,
+    AMPNetClassifier,
+    GCN,
+    GCNOneLayer,
+    LinearLayer,
+    TwoLayerSigmoid,
+    get_model,
+)
+from ampnet_tpu.ops.tokenize import pca_feature_embedding
+
+
+def tiny_graph(rng, n=10, e=30, f=24):
+    x = (rng.random((n, f)) < 0.3).astype(np.float32)
+    x[x.sum(1) == 0, 0] = 1.0  # no empty nodes
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    y = rng.integers(0, 3, n)
+    return from_arrays(x, ei, y=y, train_mask=np.ones(n, bool), test_mask=np.ones(n, bool))
+
+
+CFG = AMPGCNConfig(
+    embedding_dim=8, num_heads=2, num_node_features=24, num_sampled_vectors=6,
+    output_dim=3, feat_emb_dim=7, val_emb_dim=1,
+)
+
+
+def init_rngs(seed=0):
+    k = jax.random.PRNGKey(seed)
+    return {"params": k, "sample": k, "dropout": k, "edges": k}
+
+
+def test_ampgcn_forward_shapes(rng):
+    g = tiny_graph(rng)
+    model = AMPGCN(config=CFG)
+    variables = model.init(init_rngs(), g, deterministic=True)
+    out = model.apply(variables, g, deterministic=True, rngs={"sample": jax.random.PRNGKey(1)})
+    n_pad = g.num_nodes_padded
+    assert out.logits.shape == (n_pad, 3)
+    # log_softmax rows sum to 1 in prob space
+    np.testing.assert_allclose(np.exp(out.logits).sum(-1), 1.0, rtol=1e-4)
+    assert out.aux["sampled_idx"].shape == (n_pad, 6)
+    e_pad = g.num_edges_padded
+    assert out.aux["attn_weights_1"].shape == (e_pad, 6, 6)
+    assert out.aux["conv1_embedding"].shape == (n_pad, 6, 8)
+    # softmax attention rows sum to one
+    np.testing.assert_allclose(
+        np.asarray(out.aux["attn_weights_1"]).sum(-1), 1.0, rtol=1e-4
+    )
+
+
+def test_ampgcn_train_mode_stochastic(rng):
+    g = tiny_graph(rng)
+    model = AMPGCN(config=CFG)
+    variables = model.init(init_rngs(), g, deterministic=True)
+
+    def run(seed):
+        ks = {k: jax.random.PRNGKey(seed) for k in ("sample", "dropout", "edges")}
+        return model.apply(variables, g, deterministic=False, return_aux=False, rngs=ks).logits
+
+    a, b = run(1), run(2)
+    assert not np.allclose(a, b)  # dropout + resampling differ per key
+    np.testing.assert_allclose(run(3), run(3))  # same key deterministic
+
+
+def test_ampgcn_fixed_sampled_idx_override(rng):
+    """Parity fixture hook (SURVEY §7.4): injecting sampled indices makes the
+    deterministic forward a pure function of params."""
+    g = tiny_graph(rng)
+    model = AMPGCN(config=CFG)
+    variables = model.init(init_rngs(), g, deterministic=True)
+    idx = jnp.zeros((g.num_nodes_padded, 6), jnp.int32)
+    a = model.apply(variables, g, deterministic=True, sampled_idx=idx, return_aux=False)
+    b = model.apply(variables, g, deterministic=True, sampled_idx=idx, return_aux=False)
+    np.testing.assert_allclose(a.logits, b.logits)
+
+
+def test_ampgcn_cls_token_mode(rng):
+    g = tiny_graph(rng)
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, average_pooling=False)
+    model = AMPGCN(config=cfg)
+    variables = model.init(init_rngs(), g, deterministic=True)
+    assert "cls_token" in variables["params"]
+    out = model.apply(variables, g, deterministic=True, rngs={"sample": jax.random.PRNGKey(0)})
+    assert out.logits.shape == (g.num_nodes_padded, 3)
+
+
+def test_ampgcn_no_softmax_mode(rng):
+    g = tiny_graph(rng)
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, attn_softmax=False)
+    model = AMPGCN(config=cfg)
+    variables = model.init(init_rngs(), g, deterministic=True)
+    out = model.apply(variables, g, deterministic=True, rngs={"sample": jax.random.PRNGKey(0)})
+    w = np.asarray(out.aux["attn_weights_1"])
+    assert np.any(w < 0)  # raw dot products, unbounded
+
+
+def test_gcn_baseline(rng):
+    g = tiny_graph(rng)
+    model = GCN(num_node_features=24, feat_emb_dim=4, val_emb_dim=1, output_dim=3)
+    variables = model.init(init_rngs(), g, deterministic=True)
+    out = model.apply(variables, g, deterministic=True)
+    assert out.logits.shape == (g.num_nodes_padded, 3)
+    np.testing.assert_allclose(np.exp(out.logits).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_gcn_one_layer(rng):
+    g = tiny_graph(rng)
+    pca = pca_feature_embedding(np.asarray(g.x), 4)
+    model = GCNOneLayer(
+        pca_embedding=jnp.asarray(pca), num_node_features=24,
+        num_sampled_vectors=6, output_dim=3, feat_emb_dim=4, val_emb_dim=1,
+    )
+    variables = model.init(init_rngs(), g, deterministic=True)
+    out = model.apply(variables, g, deterministic=True, rngs={"sample": jax.random.PRNGKey(0)})
+    assert out.logits.shape == (g.num_nodes_padded, 3)
+
+
+def test_ampnet_classifier(rng):
+    n, s, d = 6, 4, 8
+    tokens = rng.normal(size=(n, s * d)).astype(np.float32)
+    ei = np.stack([rng.integers(0, n, 12), rng.integers(0, n, 12)])
+    g = from_arrays(tokens, ei, y=rng.integers(0, 3, n))
+    model = AMPNetClassifier(num_heads=2, embed_dim=d, n_original_features=s, out_dim=3)
+    variables = model.init(init_rngs(), g, deterministic=True)
+    out = model.apply(variables, g, deterministic=True)
+    assert out.logits.shape == (g.num_nodes_padded, 3)
+
+
+def test_mlp_baselines(rng):
+    n = 8
+    x = rng.normal(size=(n, 2)).astype(np.float32)
+    ei = np.stack([rng.integers(0, n, 10), rng.integers(0, n, 10)])
+    g = from_arrays(x, ei, y=rng.integers(0, 2, n))
+    for m in (LinearLayer(), TwoLayerSigmoid()):
+        variables = m.init(init_rngs(), g, deterministic=True)
+        out = m.apply(variables, g, deterministic=True)
+        assert out.logits.shape == (g.num_nodes_padded, 1)
+
+
+def test_model_registry():
+    assert isinstance(get_model("LinearLayer"), LinearLayer)
+    with pytest.raises(KeyError):
+        get_model("nope")
