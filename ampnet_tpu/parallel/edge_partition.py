@@ -29,6 +29,7 @@ from typing import Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ampnet_tpu.core.config import AMPGCNConfig
@@ -235,9 +236,72 @@ def make_partitioned_train_step(
             lambda p: sharded_loss(p, pg, key), has_aux=True
         )(params)
         updates, opt_state = learning_rate_tx.update(grads, opt_state, params)
-        import optax
-
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss, "train_acc": acc}
 
     return step
+
+
+def make_dp_partitioned_train_step(
+    cfg: AMPGCNConfig,
+    mesh: Mesh,
+    learning_rate_tx,
+    loss_mode: str = "saint",
+):
+    """Combined data-parallel x graph-partitioned training step.
+
+    PartitionedGraph leaves carry TWO leading shard axes [data, graph, ...]:
+    each 'data' replica trains on its own (GraphSAINT) subgraph, itself
+    edge-partitioned over 'graph' with halo exchange. Losses are summed
+    per replica over 'graph' then averaged over 'data'; gradient
+    all-reduce over both axes is inserted by shard_map's transpose of the
+    replicated params.
+    """
+    pspec = PartitionedGraph(*(P("data", "graph") for _ in range(9)))
+
+    def local_loss(params, pg: PartitionedGraph, key):
+        shard = PartitionedGraph(*(leaf[0, 0] for leaf in pg))
+        di = jax.lax.axis_index("data")
+        gi = jax.lax.axis_index("graph")
+        my_key = jax.random.fold_in(jax.random.fold_in(key, di), gi)
+        logp = amp_gcn_forward_local(params, shard, cfg, my_key, axis="graph")
+        m = (shard.train_mask & shard.node_mask).astype(logp.dtype)
+        nll = -jnp.take_along_axis(logp, shard.y[:, None].astype(jnp.int32), axis=1)[:, 0]
+        if loss_mode == "saint":
+            replica_loss = jax.lax.psum(jnp.sum(nll * shard.node_norm * m), "graph")
+        else:
+            total = jax.lax.psum(jnp.sum(nll * m), "graph")
+            count = jax.lax.psum(jnp.sum(m), "graph")
+            replica_loss = total / jnp.maximum(count, 1.0)
+        n_data = jax.lax.axis_size("data")
+        loss = jax.lax.psum(replica_loss, "data") / n_data
+        correct = jax.lax.psum(
+            jnp.sum((jnp.argmax(logp, -1) == shard.y).astype(jnp.float32) * m),
+            ("data", "graph"),
+        )
+        n = jax.lax.psum(jnp.sum(m), ("data", "graph"))
+        return loss, correct / jnp.maximum(n, 1.0)
+
+    sharded_loss = shard_map(
+        local_loss,
+        mesh=mesh,
+        in_specs=(P(), pspec, P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(params, opt_state, pg: PartitionedGraph, key):
+        (loss, acc), grads = jax.value_and_grad(
+            lambda p: sharded_loss(p, pg, key), has_aux=True
+        )(params)
+        updates, opt_state = learning_rate_tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "train_acc": acc}
+
+    return step
+
+
+def stack_partitioned(pgs) -> PartitionedGraph:
+    """Stack per-replica PartitionedGraphs into [data, graph, ...] leaves."""
+    return PartitionedGraph(*(jnp.stack(leaves) for leaves in zip(*pgs)))

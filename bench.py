@@ -1,0 +1,122 @@
+"""Headline benchmark: edges/s/chip for the fused AMPNet edge attention.
+
+Protocol (BASELINE.md): Cora-scale edge-attention layer — the op that
+subsumes the SDDMM (per-edge attention scores) + SpMM (scatter-mean
+aggregation) pair — at the reference's main config: D=128, H=4, S=20
+tokens/node (experiments/cora_benchmark_graphsaint.py:58-82), full-Cora
+edge count. `vs_baseline` is the speedup of this framework's optimized
+path over a naive direct translation of the reference's compute order
+(gather endpoints per edge, then project per edge — amp_conv.py:35-39),
+both measured on the same chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def build_inputs(n=2708, e=10556, s=20, d=128, seed=0, dtype="float32"):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    x = jnp.asarray(rng.normal(size=(n, s, d)).astype(np.float32), dtype=dt)
+    senders = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    receivers = jnp.asarray(np.sort(rng.integers(0, n, e)).astype(np.int32))
+    params = {
+        "w_qkv": jnp.asarray(rng.normal(size=(d, 3 * d)).astype(np.float32) * 0.05, dtype=dt),
+        "b_qkv": jnp.asarray(np.zeros(3 * d, np.float32), dtype=dt),
+        "w_out": jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.05, dtype=dt),
+        "b_out": jnp.asarray(np.zeros(d, np.float32), dtype=dt),
+    }
+    return x, senders, receivers, params
+
+
+def naive_reference_order(x, senders, receivers, p, num_heads):
+    """Direct translation of the reference compute order: gather node
+    tokens per edge FIRST, then run the full MHA per edge
+    (amp_conv.py:35-39 + functional :4189-4444). Used as the baseline."""
+    import jax.numpy as jnp
+    from ampnet_tpu.ops.edge_attention import MHAParams, multihead_attention
+    from ampnet_tpu.ops.segment import segment_count, segment_sum
+
+    params = MHAParams(p["w_qkv"], p["b_qkv"], p["w_out"], p["b_out"])
+    n = x.shape[0]
+    q_in, kv_in = x[receivers], x[senders]
+    msg, _ = multihead_attention(q_in, kv_in, kv_in, params, num_heads)
+    total = segment_sum(msg, receivers, n)
+    count = segment_count(receivers, n)
+    return total / jnp.maximum(count, 1.0)[:, None, None]
+
+
+def optimized(x, senders, receivers, p, num_heads):
+    from ampnet_tpu.ops.edge_attention import MHAParams, amp_edge_attention
+
+    params = MHAParams(p["w_qkv"], p["b_qkv"], p["w_out"], p["b_out"])
+    out, _ = amp_edge_attention(
+        x, senders, receivers, None, params, num_heads, return_weights=False
+    )
+    return out
+
+
+def time_fn(fn, *args, iters=20, warmup=3):
+    import jax
+
+    jitted = jax.jit(fn)
+    out = jitted(*args)
+    jax.block_until_ready(out)
+    for _ in range(warmup):
+        jax.block_until_ready(jitted(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jitted(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+
+    e = 10556
+    h = 4
+    x, senders, receivers, params = build_inputs(e=e)
+
+    use_pallas = False
+    try:
+        from ampnet_tpu.ops.pallas.edge_attention_fused import pallas_available
+
+        use_pallas = pallas_available()
+    except Exception:
+        pass
+
+    t_opt = time_fn(lambda *a: optimized(*a, h), x, senders, receivers, params)
+    t_naive = time_fn(lambda *a: naive_reference_order(*a, h), x, senders, receivers, params)
+
+    if use_pallas:
+        try:
+            from ampnet_tpu.ops.pallas.edge_attention_fused import (
+                amp_edge_attention_pallas_raw,
+            )
+
+            t_pallas = time_fn(
+                lambda *a: amp_edge_attention_pallas_raw(*a, h), x, senders, receivers, params
+            )
+            if t_pallas < t_opt:
+                t_opt = t_pallas
+        except Exception:
+            pass
+
+    edges_per_s = e / t_opt
+    result = {
+        "metric": "edges/s/chip (fused AMPNet edge attention, Cora D=128 H=4 S=20)",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(t_naive / t_opt, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
