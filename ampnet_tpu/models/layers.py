@@ -44,6 +44,7 @@ class AMPConv(nn.Module):
         edge_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         return_weights: bool = True,
+        fused_fn=None,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         d = self.embed_dim
         if x.shape[-1] != d:
@@ -58,20 +59,10 @@ class AMPConv(nn.Module):
         if self.attn_dropout > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
 
-        if self.use_pallas:
-            from ampnet_tpu.ops.pallas.edge_attention_fused import (
-                amp_edge_attention_pallas,
-            )
-            return amp_edge_attention_pallas(
-                x,
-                senders,
-                receivers,
-                edge_mask,
-                params,
-                self.num_heads,
-                softmax=self.softmax,
-                return_weights=return_weights,
-            )
+        if self.use_pallas and fused_fn is not None:
+            # fused Pallas path: edge layout precomputed host-side via
+            # ops.pallas.make_pallas_edge_attention (weights not returned)
+            return fused_fn(x, params), None
         return amp_edge_attention(
             x,
             senders,

@@ -1,0 +1,304 @@
+"""Fused Pallas TPU kernel for AMPNet edge attention.
+
+Fuses the whole message+aggregate pipeline the reference spreads across
+PyG gather / nn.MultiheadAttention / torch_scatter (amp_conv.py:24-51):
+
+    gather K/V node tokens per edge  ->  per-edge multi-head attention
+    (optional softmax)               ->  per-receiver sum aggregation
+
+into one kernel over a node-tile grid with a tiled-CSR edge layout
+(ops/pallas/format.py). Per tile:
+
+  * the tile's Q node tokens arrive as a pipelined VMEM block;
+  * K/V rows of each edge's sender are DMA-gathered straight from the
+    HBM-resident projected node array, double-buffered per edge group —
+    no [E, S, D] gather materialization in HBM (the XLA path's dominant
+    traffic);
+  * per edge group of G edges, attention runs as one block-diagonal
+    [G*S, G*S] matmul pair per head on the MXU (compute waste G, chosen
+    small; the op is HBM-bound);
+  * messages scatter-accumulate into a VMEM accumulator, written to HBM
+    once per tile.
+
+QKV/out projections and the mean division stay in XLA (pure matmuls it
+already schedules optimally). The public wrapper amp_edge_attention_pallas
+is a drop-in for ops.edge_attention.amp_edge_attention with a custom VJP
+whose backward recomputes via the XLA path (forward-speed optimization;
+fused backward is future work).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ampnet_tpu.ops.edge_attention import MHAParams, amp_edge_attention
+from ampnet_tpu.ops.pallas.format import TiledCSR, build_tiled_csr
+from ampnet_tpu.ops.segment import segment_count
+
+
+def pallas_available() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu",)
+    except Exception:
+        return False
+
+
+def _fused_kernel(
+    senders_ref,   # SMEM [1, 1, EMAX] int32 global sender ids (this tile)
+    recv_ref,      # SMEM [1, 1, EMAX] int32 local receiver row
+    valid_ref,     # SMEM [1, 1, EMAX] int32 0/1
+    q_ref,         # VMEM [TN*S, D] this tile's Q rows
+    kv_hbm,        # ANY  [N*S, 2D] projected K|V rows for all nodes
+    out_ref,       # VMEM [TN*S, D] summed messages for this tile
+    acc_ref,       # scratch VMEM [TN*S, D] f32
+    qbuf_ref,      # scratch VMEM [G*S, D]
+    kvbuf_ref,     # scratch VMEM [2, G*S, 2D]
+    sems,          # DMA sems (2, G)
+    *,
+    s: int,       # real tokens per node
+    sp: int,      # padded tokens per node (sublane-aligned row stride)
+    d: int,
+    num_heads: int,
+    group: int,
+    emax: int,
+    softmax: bool,
+):
+    g = group
+    dh = d // num_heads
+    scale = 1.0 / (dh ** 0.5)
+    n_groups = emax // g
+
+    def start_group(gi, slot):
+        for j in range(g):
+            ns = senders_ref[0, 0, gi * g + j]
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(ns * sp, sp), :],
+                kvbuf_ref.at[slot, pl.ds(j * sp, sp), :],
+                sems.at[slot, j],
+            ).start()
+
+    def wait_group(gi, slot):
+        for j in range(g):
+            ns = senders_ref[0, 0, gi * g + j]
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(ns * sp, sp), :],
+                kvbuf_ref.at[slot, pl.ds(j * sp, sp), :],
+                sems.at[slot, j],
+            ).wait()
+
+    acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+    start_group(0, 0)
+
+    # block-diagonal mask over padded token rows: same edge block AND a
+    # real (non-pad) key column
+    blk_row = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 0) // sp
+    blk_col = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 1) // sp
+    col_tok = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 1) % sp
+    block_mask = (blk_row == blk_col) & (col_tok < s)
+
+    def body(gi, _):
+        slot = jax.lax.rem(gi, 2)
+        nxt = jax.lax.rem(gi + 1, 2)
+
+        @pl.when(gi + 1 < n_groups)
+        def _():
+            start_group(gi + 1, nxt)
+
+        wait_group(gi, slot)
+
+        # gather Q rows for this group's receivers
+        for j in range(g):
+            r = recv_ref[0, 0, gi * g + j]
+            qbuf_ref[pl.ds(j * sp, sp), :] = q_ref[pl.ds(r * sp, sp), :]
+
+        kv = kvbuf_ref[slot]
+        q = qbuf_ref[:]
+        dtype = q.dtype
+        out_blocks = []
+        for h in range(num_heads):
+            qh = q[:, h * dh : (h + 1) * dh] * jnp.asarray(scale, dtype)
+            kh = kv[:, h * dh : (h + 1) * dh]
+            vh = kv[:, d + h * dh : d + (h + 1) * dh]
+            scores = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [G*S, G*S]
+            if softmax:
+                scores = jnp.where(block_mask, scores, -jnp.inf)
+                m = jnp.max(scores, axis=1, keepdims=True)
+                e = jnp.exp(scores - m)
+                w = e / jnp.sum(e, axis=1, keepdims=True)
+            else:
+                w = jnp.where(block_mask, scores, 0.0)
+            oh = jax.lax.dot_general(
+                w.astype(dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G*S, Dh]
+            out_blocks.append(oh)
+        msg = jnp.concatenate(out_blocks, axis=1)  # [G*S, D] f32
+
+        # scatter-accumulate per edge into the tile accumulator
+        for j in range(g):
+            r = recv_ref[0, 0, gi * g + j]
+            val = valid_ref[0, 0, gi * g + j].astype(jnp.float32)
+            block = msg[j * sp : (j + 1) * sp, :] * val
+            cur = acc_ref[pl.ds(r * sp, sp), :]
+            acc_ref[pl.ds(r * sp, sp), :] = cur + block
+        return 0
+
+    jax.lax.fori_loop(0, n_groups, body, 0)
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret"),
+)
+def _fused_edge_sums(
+    q_rows: jnp.ndarray,      # [N*S, D]
+    kv_rows: jnp.ndarray,     # [N*S, 2D]
+    tile_senders: jnp.ndarray,   # [T, EMAX] int32
+    tile_recv: jnp.ndarray,      # [T, EMAX]
+    tile_valid: jnp.ndarray,     # [T, EMAX]
+    *,
+    num_heads: int,
+    softmax: bool,
+    tile_nodes: int,
+    group: int,
+    num_tiles: int,
+    emax: int,
+    s: int,
+    interpret: bool = False,
+):
+    sp = q_rows.shape[0] // (num_tiles * tile_nodes)
+    d = q_rows.shape[1]
+    tn = tile_nodes
+
+    kernel = functools.partial(
+        _fused_kernel,
+        s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
+        softmax=softmax,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tn * sp, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tn * sp, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_tiles * tn * sp, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tn * sp, d), jnp.float32),
+            pltpu.VMEM((group * sp, d), q_rows.dtype),
+            pltpu.VMEM((2, group * sp, 2 * d), kv_rows.dtype),
+            pltpu.SemaphoreType.DMA((2, group)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(tile_senders, tile_recv, tile_valid, q_rows, kv_rows)
+
+
+def amp_edge_attention_pallas_core(
+    x: jnp.ndarray,              # [N, S, D]
+    params: MHAParams,
+    tcsr: TiledCSR,
+    receivers: jnp.ndarray,      # [E] (for degree counts)
+    edge_mask: Optional[jnp.ndarray],
+    num_heads: int,
+    softmax: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Projection (XLA) -> fused kernel (Pallas) -> mean + out-proj (XLA)."""
+    n, s, d = x.shape
+    qkv = x @ params.w_qkv + params.b_qkv
+
+    # pad tokens-per-node to a sublane-aligned row stride so the kernel's
+    # dynamic HBM/VMEM slices meet Mosaic's (8/16, 128) tiling rules
+    align = 16 if x.dtype == jnp.bfloat16 else 8
+    sp = -(-s // align) * align
+    if sp != s:
+        qkv = jnp.pad(qkv, ((0, 0), (0, sp - s), (0, 0)))
+    q_rows = qkv[..., :d].reshape(n * sp, d)
+    kv_rows = qkv[..., d:].reshape(n * sp, 2 * d)
+
+    n_tiles_nodes = tcsr.num_tiles * tcsr.tile_nodes
+    if n_tiles_nodes > n:  # pad node rows so the tile grid covers them
+        pad = (n_tiles_nodes - n) * sp
+        q_rows = jnp.pad(q_rows, ((0, pad), (0, 0)))
+        kv_rows = jnp.pad(kv_rows, ((0, pad), (0, 0)))
+
+    sums = _fused_edge_sums(
+        q_rows, kv_rows,
+        jnp.asarray(tcsr.senders)[:, None, :], jnp.asarray(tcsr.recv_local)[:, None, :],
+        jnp.asarray(tcsr.valid)[:, None, :],
+        num_heads=num_heads, softmax=softmax,
+        tile_nodes=tcsr.tile_nodes, group=4 if tcsr.edges_per_tile % 4 == 0 else 1,
+        num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
+        interpret=interpret,
+    )
+    sums = sums[: n * sp].reshape(n, sp, d)[:, :s, :]
+    count = segment_count(receivers, n, edge_mask)
+    mean = sums / jnp.maximum(count, 1.0)[:, None, None]
+    out = mean.astype(x.dtype) @ params.w_out + params.b_out
+    return jnp.where((count > 0)[:, None, None], out, 0.0)
+
+
+def make_pallas_edge_attention(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    edge_mask: np.ndarray,
+    num_nodes_padded: int,
+    num_heads: int,
+    softmax: bool = True,
+    tile_nodes: int = 64,
+    group: int = 4,
+    interpret: bool = False,
+):
+    """Build a fused edge-attention closure for a FIXED graph structure
+    (edge layout is precomputed host-side; sampler graphs reuse pad shapes).
+
+    Returns fn(x [N,S,D], params) -> out [N,S,D] with custom VJP: the
+    backward pass recomputes gradients through the XLA reference path.
+    """
+    tcsr = build_tiled_csr(
+        senders, receivers, edge_mask, num_nodes_padded, tile_nodes, group
+    )
+    receivers_j = jnp.asarray(receivers)
+    mask_j = None if edge_mask is None else jnp.asarray(edge_mask)
+    senders_j = jnp.asarray(senders)
+
+    @jax.custom_vjp
+    def fused(x, params):
+        return amp_edge_attention_pallas_core(
+            x, params, tcsr, receivers_j, mask_j, num_heads, softmax, interpret
+        )
+
+    def fwd(x, params):
+        return fused(x, params), (x, params)
+
+    def bwd(res, g):
+        x, params = res
+
+        def ref_fn(x, params):
+            out, _ = amp_edge_attention(
+                x, senders_j, receivers_j, mask_j, params, num_heads,
+                softmax=softmax, return_weights=False,
+            )
+            return out
+
+        _, vjp = jax.vjp(ref_fn, x, params)
+        return vjp(g)
+
+    fused.defvjp(fwd, bwd)
+    return fused

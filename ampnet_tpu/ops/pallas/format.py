@@ -1,0 +1,64 @@
+"""Tiled-CSR edge format for the fused Pallas edge-attention kernel.
+
+Receiver-sorted edges are bucketed by node tile (TN receivers per tile)
+and padded to a common per-tile edge budget (multiple of the kernel's
+edge-group size G), so the kernel runs a static grid over node tiles with
+a static inner loop over edge groups. Built once per padded graph on host
+(replacing torch_sparse's CSR machinery — SURVEY §2.7) and reused every
+step.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class TiledCSR(NamedTuple):
+    senders: np.ndarray      # [T, EMAX] int32 global sender node id
+    recv_local: np.ndarray   # [T, EMAX] int32 receiver row within tile
+    valid: np.ndarray        # [T, EMAX] int32 0/1 edge validity
+    tile_nodes: int          # TN
+    num_tiles: int           # T
+    edges_per_tile: int      # EMAX (multiple of group size)
+
+
+def build_tiled_csr(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    edge_mask: np.ndarray,
+    num_nodes_padded: int,
+    tile_nodes: int = 64,
+    group: int = 4,
+) -> TiledCSR:
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    edge_mask = np.asarray(edge_mask).astype(bool)
+
+    n_pad = num_nodes_padded
+    tn = tile_nodes
+    t = -(-n_pad // tn)
+
+    sel = edge_mask
+    s, r = senders[sel], receivers[sel]
+    tile_of_edge = r // tn
+    counts = np.bincount(tile_of_edge, minlength=t)
+    emax = int(counts.max()) if counts.size and counts.max() > 0 else group
+    # multiple of the group size AND of 128 (TPU SMEM block lane constraint)
+    step = int(np.lcm(group, 128))
+    emax = ((emax + step - 1) // step) * step
+
+    out_s = np.zeros((t, emax), np.int32)
+    out_r = np.zeros((t, emax), np.int32)
+    out_v = np.zeros((t, emax), np.int32)
+    order = np.argsort(tile_of_edge, kind="stable")
+    s, r, tile_of_edge = s[order], r[order], tile_of_edge[order]
+    starts = np.zeros(t + 1, np.int64)
+    starts[1:] = np.cumsum(counts)
+    for ti in range(t):
+        a, b = starts[ti], starts[ti + 1]
+        k = b - a
+        out_s[ti, :k] = s[a:b]
+        out_r[ti, :k] = r[a:b] % tn
+        out_v[ti, :k] = 1
+    return TiledCSR(out_s, out_r, out_v, tn, t, emax)

@@ -83,30 +83,30 @@ def main():
     h = 4
     x, senders, receivers, params = build_inputs(e=e)
 
-    use_pallas = False
-    try:
-        from ampnet_tpu.ops.pallas.edge_attention_fused import pallas_available
-
-        use_pallas = pallas_available()
-    except Exception:
-        pass
-
     t_opt = time_fn(lambda *a: optimized(*a, h), x, senders, receivers, params)
     t_naive = time_fn(lambda *a: naive_reference_order(*a, h), x, senders, receivers, params)
 
-    if use_pallas:
-        try:
-            from ampnet_tpu.ops.pallas.edge_attention_fused import (
-                amp_edge_attention_pallas_raw,
-            )
+    try:
+        from ampnet_tpu.ops.edge_attention import MHAParams
+        from ampnet_tpu.ops.pallas.edge_attention_fused import (
+            make_pallas_edge_attention,
+            pallas_available,
+        )
 
-            t_pallas = time_fn(
-                lambda *a: amp_edge_attention_pallas_raw(*a, h), x, senders, receivers, params
+        if pallas_available():
+            n = x.shape[0]
+            fused = make_pallas_edge_attention(
+                np.asarray(senders), np.asarray(receivers),
+                np.ones(e, bool), n, h,
             )
+            p = MHAParams(params["w_qkv"], params["b_qkv"], params["w_out"], params["b_out"])
+            t_pallas = time_fn(lambda xx: fused(xx, p), x)
             if t_pallas < t_opt:
                 t_opt = t_pallas
-        except Exception:
-            pass
+    except Exception as err:
+        import sys
+
+        print(f"pallas path unavailable: {type(err).__name__}: {err}", file=sys.stderr)
 
     edges_per_s = e / t_opt
     result = {

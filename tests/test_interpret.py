@@ -1,0 +1,63 @@
+"""Interpretability suite smoke + correctness tests."""
+import os
+
+import jax
+import numpy as np
+
+from ampnet_tpu.interpret.attention import (
+    calculate_attn_heatmap,
+    top_k_features_for_class,
+)
+from ampnet_tpu.interpret.curves import history_to_csv, plot_history
+from ampnet_tpu.interpret.histograms import (
+    plot_grad_flow,
+    visualize_activations,
+    visualize_gradients,
+)
+
+
+def test_top_k_features(rng):
+    x = np.zeros((20, 10), np.float32)
+    y = np.array([0] * 10 + [1] * 10)
+    x[:10, 3] = 1.0  # feature 3 always present for class 0
+    x[:10, 7] = (rng.random(10) < 0.5)
+    top = top_k_features_for_class(x, y, 0, k=2)
+    assert top[0] == 3
+
+
+def test_attn_heatmap_accumulation():
+    """Hand-checkable case: 1 edge, 2 tokens, known attention weights."""
+    s = 2
+    attn = np.array([[[0.25, 0.75], [0.5, 0.5]]])  # [1, 2, 2]
+    sampled = np.array([[0, 1], [1, 2]])  # node0 tokens -> feats (0,1); node1 -> (1,2)
+    senders = np.array([0])
+    receivers = np.array([1])
+    y = np.array([0, 1])
+    heat, counts = calculate_attn_heatmap(
+        attn, sampled, senders, receivers, np.array([True]), y,
+        src_class=0, dst_class=1,
+        src_top=np.array([0, 1]), dst_top=np.array([1, 2]),
+    )
+    # dst token 0 -> feat 1 (row 0), src token 0 -> feat 0 (col 0): w=0.25
+    assert heat[0, 0] == 0.25
+    assert heat[0, 1] == 0.75
+    assert heat[1, 0] == 0.5
+    assert counts.sum() == 4
+
+
+def test_histograms_and_curves_smoke(tmp_path, rng):
+    grads = {"conv1": {"w_qkv": rng.normal(size=(8, 24)).astype(np.float32)},
+             "final": {"kernel": rng.normal(size=(4, 3)).astype(np.float32)}}
+    out1 = visualize_gradients(grads, str(tmp_path))
+    out2 = plot_grad_flow(grads, str(tmp_path))
+    assert os.path.exists(out1) and os.path.exists(out2)
+    out3 = visualize_activations(
+        {"AmpConv 1": rng.normal(size=(10, 4)), "ReLU 1": rng.random((10, 4))},
+        str(tmp_path),
+    )
+    assert os.path.exists(out3)
+    history = [{"epoch": i, "loss": 1.0 / (i + 1), "train_acc": 0.5 + 0.01 * i} for i in range(5)]
+    plot_history(history, str(tmp_path))
+    assert os.path.exists(tmp_path / "history.csv")
+    assert os.path.exists(tmp_path / "loss_curves.png")
+    assert os.path.exists(tmp_path / "acc_curves.png")

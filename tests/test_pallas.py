@@ -1,0 +1,66 @@
+"""Fused Pallas kernel parity (interpret mode on CPU) vs the XLA
+reference path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ampnet_tpu.ops.edge_attention import MHAParams, amp_edge_attention
+from ampnet_tpu.ops.pallas.edge_attention_fused import (
+    amp_edge_attention_pallas_core,
+)
+from ampnet_tpu.ops.pallas.format import build_tiled_csr
+
+S, D, H = 4, 16, 2
+
+
+def make_params(rng):
+    return MHAParams(
+        w_qkv=jnp.asarray(rng.normal(size=(D, 3 * D)).astype(np.float32) * 0.2),
+        b_qkv=jnp.asarray(rng.normal(size=(3 * D,)).astype(np.float32) * 0.1),
+        w_out=jnp.asarray(rng.normal(size=(D, D)).astype(np.float32) * 0.2),
+        b_out=jnp.asarray(rng.normal(size=(D,)).astype(np.float32) * 0.1),
+    )
+
+
+def build_case(rng, n=16, e=40):
+    x = jnp.asarray(rng.normal(size=(n, S, D)).astype(np.float32))
+    senders = rng.integers(0, n, e).astype(np.int32)
+    receivers = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    mask = np.ones(e, bool)
+    mask[-5:] = False
+    return x, senders, receivers, mask
+
+
+def test_tiled_csr_layout(rng):
+    x, senders, receivers, mask = build_case(rng)
+    tcsr = build_tiled_csr(senders, receivers, mask, 16, tile_nodes=8, group=4)
+    assert tcsr.num_tiles == 2
+    assert tcsr.edges_per_tile % 4 == 0
+    # every valid edge appears exactly once with correct receiver tile
+    count = 0
+    for t in range(tcsr.num_tiles):
+        for k in range(tcsr.edges_per_tile):
+            if tcsr.valid[t, k]:
+                g_recv = t * tcsr.tile_nodes + tcsr.recv_local[t, k]
+                pair = (tcsr.senders[t, k], g_recv)
+                assert pair in set(zip(senders[mask], receivers[mask]))
+                count += 1
+    assert count == mask.sum()
+
+
+@pytest.mark.parametrize("softmax", [True, False])
+def test_fused_kernel_parity_interpret(rng, softmax):
+    x, senders, receivers, mask = build_case(rng)
+    params = make_params(rng)
+    tcsr = build_tiled_csr(senders, receivers, mask, 16, tile_nodes=8, group=4)
+
+    fused = amp_edge_attention_pallas_core(
+        x, params, tcsr, jnp.asarray(receivers), jnp.asarray(mask),
+        H, softmax=softmax, interpret=True,
+    )
+    ref, _ = amp_edge_attention(
+        x, jnp.asarray(senders), jnp.asarray(receivers), jnp.asarray(mask),
+        params, H, softmax=softmax, return_weights=False,
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=2e-4, atol=2e-5)

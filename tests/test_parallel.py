@@ -51,13 +51,15 @@ def test_dp_train_step_runs_and_syncs(rng):
     model = AMPGCN(config=CFG)
     tx = make_optimizer(1e-3)
     state = create_train_state(model, graphs[0], tx, seed=0)
+    # the step donates its input state — snapshot params before
+    params_before = jax.tree_util.tree_map(np.asarray, state.params)
     step = make_dp_train_step(model, mesh, loss_mode="saint")
     state2, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
     # params actually moved
     delta = jax.tree_util.tree_reduce(
         lambda a, b: a + b,
-        jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).sum()), state.params, state2.params),
+        jax.tree_util.tree_map(lambda a, b: float(np.abs(a - np.asarray(b)).sum()), params_before, state2.params),
     )
     assert delta > 0
 
