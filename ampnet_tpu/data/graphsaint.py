@@ -80,6 +80,7 @@ class GraphSaintRandomWalkSampler:
         pad_nodes_to: Optional[int] = None,
         pad_edges_to: Optional[int] = None,
         seed: int = 0,
+        use_native: bool = True,
     ):
         self.x = np.asarray(x, dtype=np.float32)
         self.edge_index = np.asarray(edge_index, dtype=np.int64)
@@ -105,6 +106,23 @@ class GraphSaintRandomWalkSampler:
         self._src_indptr = np.zeros(self.N + 1, dtype=np.int64)
         self._src_indptr[1:] = np.cumsum(np.bincount(self._src_sorted, minlength=self.N))
 
+        # native (C++) sampling core — replaces torch_sparse's C++ ops
+        # (SURVEY §2.7); transparently falls back to numpy
+        self._native_induced = None
+        self._use_native = False
+        if use_native:
+            try:
+                from ampnet_tpu.data import native as _native
+
+                if _native.load_native() is not None:
+                    self._native_induced = _native.NativeInducedEdges(
+                        self._src_indptr, self._dst_sorted, self._edge_order, self.N
+                    )
+                    self._native = _native
+                    self._use_native = True
+            except Exception:
+                self._use_native = False
+
         if sample_coverage > 0:
             self.node_norm, self.edge_norm = self._compute_norm()
         else:
@@ -127,10 +145,24 @@ class GraphSaintRandomWalkSampler:
     # -- sampling core ------------------------------------------------------
     def _sample_nodes(self, rng: np.random.Generator) -> np.ndarray:
         starts = rng.integers(0, self.N, size=self.batch_size)
+        if self._use_native:
+            walks = self._native.random_walk_native(
+                self.indptr, self.indices, starts, self.walk_length,
+                int(rng.integers(2**63)),
+            )
+            if walks is not None:
+                return np.unique(walks)
         walks = random_walk(self.indptr, self.indices, starts, self.walk_length, rng)
         return np.unique(walks)
 
     def _induced_edge_ids(self, nodes: np.ndarray) -> np.ndarray:
+        if self._native_induced is not None:
+            out = self._native_induced(nodes)
+            if out is not None:
+                return out
+        return self._induced_edge_ids_numpy(nodes)
+
+    def _induced_edge_ids_numpy(self, nodes: np.ndarray) -> np.ndarray:
         """Original edge ids whose endpoints are both in `nodes` (sorted set)."""
         in_set = np.zeros(self.N, dtype=bool)
         in_set[nodes] = True
@@ -153,9 +185,20 @@ class GraphSaintRandomWalkSampler:
 
     # -- normalization pre-pass (:137-173) ---------------------------------
     def _compute_norm(self) -> Tuple[np.ndarray, np.ndarray]:
+        norm_seed = int(self.rng.integers(2**63))
+        if self._use_native:
+            res = self._native.norm_prepass_native(
+                self.indptr, self.indices,
+                self._src_indptr, self._dst_sorted, self._edge_order,
+                self.N, self.batch_size, self.walk_length,
+                self.sample_coverage, self.num_steps, norm_seed,
+            )
+            if res is not None:
+                node_count, edge_count, num_samples = res
+                return self._finish_norm(node_count, edge_count, num_samples)
         node_count = np.zeros(self.N, dtype=np.float64)
         edge_count = np.zeros(self.E, dtype=np.float64)
-        norm_rng = np.random.default_rng(self.rng.integers(2**63))
+        norm_rng = np.random.default_rng(norm_seed)
         num_samples = total_sampled = 0
         while total_sampled < self.N * self.sample_coverage:
             for _ in range(self.num_steps):
@@ -164,11 +207,17 @@ class GraphSaintRandomWalkSampler:
                 edge_count[eids] += 1
                 total_sampled += len(nodes)
             num_samples += self.num_steps
+        return self._finish_norm(node_count, edge_count, num_samples)
+
+    def _finish_norm(
+        self, node_count: np.ndarray, edge_count: np.ndarray, num_samples: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
         src = self.edge_index[0]
         with np.errstate(divide="ignore", invalid="ignore"):
             edge_norm = node_count[src] / edge_count
         edge_norm = np.clip(edge_norm, 0, 1e4)
         edge_norm[~np.isfinite(edge_norm)] = 0.1
+        node_count = node_count.copy()
         node_count[node_count == 0] = 0.1
         node_norm = num_samples / node_count / self.N
         return node_norm.astype(np.float32), edge_norm.astype(np.float32)

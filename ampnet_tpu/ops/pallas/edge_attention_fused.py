@@ -155,9 +155,89 @@ def _fused_kernel(
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+
+
+def _fused_kernel_vmem(
+    senders_ref,   # SMEM [1, 1, EMAX] int32 global sender ids (this tile)
+    recv_ref,      # SMEM [1, 1, EMAX] int32 local receiver row
+    valid_ref,     # SMEM [1, 1, EMAX] int32 0/1
+    q_ref,         # VMEM [TN*SP, D] this tile's Q rows
+    kv_ref,        # VMEM [N*SP, 2D] projected K|V rows, fully resident
+    out_ref,       # VMEM [TN*SP, D] summed messages for this tile
+    acc_ref,       # scratch VMEM [TN*SP, D] f32
+    qbuf_ref,      # scratch VMEM [G*SP, D]
+    kvbuf_ref,     # scratch VMEM [G*SP, 2D]
+    *,
+    s: int,
+    sp: int,
+    d: int,
+    num_heads: int,
+    group: int,
+    emax: int,
+    softmax: bool,
+):
+    """v1.5: K/V stay fully VMEM-resident (fits for graphs up to ~100k
+    token-rows); per-edge gathers are direct VMEM dynamic-slice copies —
+    no DMA issue overhead. Larger graphs use the DMA variant."""
+    g = group
+    dh = d // num_heads
+    scale = 1.0 / (dh ** 0.5)
+    n_groups = emax // g
+
+    acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    blk_row = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 0) // sp
+    blk_col = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 1) // sp
+    col_tok = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 1) % sp
+    block_mask = (blk_row == blk_col) & (col_tok < s)
+
+    def body(gi, _):
+        for j in range(g):
+            ns = senders_ref[0, 0, gi * g + j]
+            r = recv_ref[0, 0, gi * g + j]
+            kvbuf_ref[pl.ds(j * sp, sp), :] = kv_ref[pl.ds(ns * sp, sp), :]
+            qbuf_ref[pl.ds(j * sp, sp), :] = q_ref[pl.ds(r * sp, sp), :]
+
+        kv = kvbuf_ref[:]
+        q = qbuf_ref[:]
+        dtype = q.dtype
+        out_blocks = []
+        for h in range(num_heads):
+            qh = q[:, h * dh : (h + 1) * dh] * jnp.asarray(scale, dtype)
+            kh = kv[:, h * dh : (h + 1) * dh]
+            vh = kv[:, d + h * dh : d + (h + 1) * dh]
+            scores = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            if softmax:
+                scores = jnp.where(block_mask, scores, -jnp.inf)
+                m = jnp.max(scores, axis=1, keepdims=True)
+                e = jnp.exp(scores - m)
+                w = e / jnp.sum(e, axis=1, keepdims=True)
+            else:
+                w = jnp.where(block_mask, scores, 0.0)
+            oh = jax.lax.dot_general(
+                w.astype(dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_blocks.append(oh)
+        msg = jnp.concatenate(out_blocks, axis=1)
+
+        for j in range(g):
+            r = recv_ref[0, 0, gi * g + j]
+            val = valid_ref[0, 0, gi * g + j].astype(jnp.float32)
+            block = msg[j * sp : (j + 1) * sp, :] * val
+            cur = acc_ref[pl.ds(r * sp, sp), :]
+            acc_ref[pl.ds(r * sp, sp), :] = cur + block
+        return 0
+
+    jax.lax.fori_loop(0, n_groups, body, 0)
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret"),
+    static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "gather", "interpret"),
 )
 def _fused_edge_sums(
     q_rows: jnp.ndarray,      # [N*S, D]
@@ -173,17 +253,40 @@ def _fused_edge_sums(
     num_tiles: int,
     emax: int,
     s: int,
+    gather: str = "vmem",
     interpret: bool = False,
 ):
     sp = q_rows.shape[0] // (num_tiles * tile_nodes)
     d = q_rows.shape[1]
     tn = tile_nodes
 
-    kernel = functools.partial(
-        _fused_kernel,
-        s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
-        softmax=softmax,
-    )
+    if gather == "vmem":
+        kernel = functools.partial(
+            _fused_kernel_vmem,
+            s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
+            softmax=softmax,
+        )
+        kv_spec = pl.BlockSpec(
+            (kv_rows.shape[0], 2 * d), lambda t: (0, 0), memory_space=pltpu.VMEM
+        )
+        scratch = [
+            pltpu.VMEM((tn * sp, d), jnp.float32),
+            pltpu.VMEM((group * sp, d), q_rows.dtype),
+            pltpu.VMEM((group * sp, 2 * d), kv_rows.dtype),
+        ]
+    else:
+        kernel = functools.partial(
+            _fused_kernel,
+            s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
+            softmax=softmax,
+        )
+        kv_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [
+            pltpu.VMEM((tn * sp, d), jnp.float32),
+            pltpu.VMEM((group * sp, d), q_rows.dtype),
+            pltpu.VMEM((2, group * sp, 2 * d), kv_rows.dtype),
+            pltpu.SemaphoreType.DMA((2, group)),
+        ]
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -192,16 +295,11 @@ def _fused_edge_sums(
             pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tn * sp, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            kv_spec,
         ],
         out_specs=pl.BlockSpec((tn * sp, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((num_tiles * tn * sp, d), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((tn * sp, d), jnp.float32),
-            pltpu.VMEM((group * sp, d), q_rows.dtype),
-            pltpu.VMEM((2, group * sp, 2 * d), kv_rows.dtype),
-            pltpu.SemaphoreType.DMA((2, group)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -217,6 +315,7 @@ def amp_edge_attention_pallas_core(
     edge_mask: Optional[jnp.ndarray],
     num_heads: int,
     softmax: bool = True,
+    gather: str = "vmem",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Projection (XLA) -> fused kernel (Pallas) -> mean + out-proj (XLA)."""
@@ -245,7 +344,7 @@ def amp_edge_attention_pallas_core(
         num_heads=num_heads, softmax=softmax,
         tile_nodes=tcsr.tile_nodes, group=4 if tcsr.edges_per_tile % 4 == 0 else 1,
         num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
-        interpret=interpret,
+        gather=gather, interpret=interpret,
     )
     sums = sums[: n * sp].reshape(n, sp, d)[:, :s, :]
     count = segment_count(receivers, n, edge_mask)
@@ -263,6 +362,7 @@ def make_pallas_edge_attention(
     softmax: bool = True,
     tile_nodes: int = 64,
     group: int = 4,
+    gather: str = "vmem",
     interpret: bool = False,
 ):
     """Build a fused edge-attention closure for a FIXED graph structure
@@ -281,7 +381,8 @@ def make_pallas_edge_attention(
     @jax.custom_vjp
     def fused(x, params):
         return amp_edge_attention_pallas_core(
-            x, params, tcsr, receivers_j, mask_j, num_heads, softmax, interpret
+            x, params, tcsr, receivers_j, mask_j, num_heads, softmax,
+            gather, interpret,
         )
 
     def fwd(x, params):

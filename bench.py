@@ -61,18 +61,24 @@ def optimized(x, senders, receivers, p, num_heads):
     return out
 
 
-def time_fn(fn, *args, iters=20, warmup=3):
+def time_fn(fn, x, *args, iters=20, warmup=2):
+    """Serial-dependency timing: each iteration's input depends on the
+    previous output, so repeated calls cannot be deduped/cached by the
+    runtime (remote-execution relays memoize identical calls)."""
     import jax
 
-    jitted = jax.jit(fn)
-    out = jitted(*args)
-    jax.block_until_ready(out)
+    def chained(x, *a):
+        out = fn(x, *a)
+        return x + out * 1e-6, out
+
+    jitted = jax.jit(chained)
     for _ in range(warmup):
-        jax.block_until_ready(jitted(*args))
+        x, out = jitted(x, *args)
+    jax.block_until_ready(x)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = jitted(*args)
-    jax.block_until_ready(out)
+        x, out = jitted(x, *args)
+    jax.block_until_ready(x)
     return (time.perf_counter() - t0) / iters
 
 
