@@ -49,6 +49,7 @@ class AMPGCN(nn.Module):
         deterministic: bool = True,
         sampled_idx: Optional[jnp.ndarray] = None,
         return_aux: bool = True,
+        fused_fns=None,  # optional (fn, fn): fused Pallas conv kernels
     ) -> ModelOutput:
         cfg = self.config
         d = cfg.embedding_dim
@@ -88,6 +89,7 @@ class AMPGCN(nn.Module):
         x, attn1 = conv1(
             x, graph.senders, graph.receivers, edge_mask,
             deterministic=deterministic, return_weights=return_aux,
+            fused_fn=None if fused_fns is None else fused_fns[0],
         )
         conv1_embedding = x
         x = nn.relu(x)
@@ -103,6 +105,7 @@ class AMPGCN(nn.Module):
         x, attn2 = conv2(
             x, graph.senders, graph.receivers, edge_mask,
             deterministic=deterministic, return_weights=return_aux,
+            fused_fn=None if fused_fns is None else fused_fns[1],
         )
         conv2_embedding = x
         x = nn.relu(x)

@@ -59,7 +59,7 @@ class AMPConv(nn.Module):
         if self.attn_dropout > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
 
-        if self.use_pallas and fused_fn is not None:
+        if fused_fn is not None:
             # fused Pallas path: edge layout precomputed host-side via
             # ops.pallas.make_pallas_edge_attention (weights not returned)
             return fused_fn(x, params), None

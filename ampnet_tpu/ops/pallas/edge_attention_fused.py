@@ -192,6 +192,14 @@ def _fused_kernel_vmem(
     block_mask = (blk_row == blk_col) & (col_tok < s)
 
     def body(gi, _):
+        # edges are packed: if the group's first edge is padding, so is the
+        # rest of the tile — skip the whole group
+        @pl.when(valid_ref[0, 0, gi * g] != 0)
+        def _run_group():
+            _group_body(gi)
+        return 0
+
+    def _group_body(gi):
         for j in range(g):
             ns = senders_ref[0, 0, gi * g + j]
             r = recv_ref[0, 0, gi * g + j]
@@ -229,7 +237,6 @@ def _fused_kernel_vmem(
             block = msg[j * sp : (j + 1) * sp, :] * val
             cur = acc_ref[pl.ds(r * sp, sp), :]
             acc_ref[pl.ds(r * sp, sp), :] = cur + block
-        return 0
 
     jax.lax.fori_loop(0, n_groups, body, 0)
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
@@ -342,8 +349,95 @@ def amp_edge_attention_pallas_core(
         jnp.asarray(tcsr.senders)[:, None, :], jnp.asarray(tcsr.recv_local)[:, None, :],
         jnp.asarray(tcsr.valid)[:, None, :],
         num_heads=num_heads, softmax=softmax,
-        tile_nodes=tcsr.tile_nodes, group=4 if tcsr.edges_per_tile % 4 == 0 else 1,
+        tile_nodes=tcsr.tile_nodes, group=8 if tcsr.edges_per_tile % 8 == 0 else 1,
         num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
+        gather=gather, interpret=interpret,
+    )
+    sums = sums[: n * sp].reshape(n, sp, d)[:, :s, :]
+    count = segment_count(receivers, n, edge_mask)
+    mean = sums / jnp.maximum(count, 1.0)[:, None, None]
+    out = mean.astype(x.dtype) @ params.w_out + params.b_out
+    return jnp.where((count > 0)[:, None, None], out, 0.0)
+
+
+def amp_edge_attention_pallas(
+    x: jnp.ndarray,                 # [N, S, D]
+    params: MHAParams,
+    senders: jnp.ndarray,           # [E] (backward pass + degree counts)
+    receivers: jnp.ndarray,         # [E]
+    edge_mask: Optional[jnp.ndarray],
+    tile_senders: jnp.ndarray,      # [T, EMAX] from build_tiled_csr
+    tile_recv: jnp.ndarray,         # [T, EMAX]
+    tile_valid: jnp.ndarray,        # [T, EMAX]
+    num_heads: int,
+    softmax: bool = True,
+    tile_nodes: int = 64,
+    gather: str = "vmem",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Jittable fused edge attention with a DYNAMIC tiled-CSR layout.
+
+    The layout arrays are data (built per subgraph on host by
+    build_tiled_csr with a fixed edges_per_tile budget), so GraphSAINT
+    subgraphs with differing edges share one compiled executable.
+    custom VJP: backward recomputes through the XLA reference path.
+    """
+    num_tiles, emax = tile_senders.shape
+    tcsr_like = TiledCSR(
+        tile_senders[:, None, :], tile_recv[:, None, :], tile_valid[:, None, :],
+        tile_nodes, num_tiles, emax,
+    )
+
+    @jax.custom_vjp
+    def fused(x, params):
+        return _pallas_core_dynamic(
+            x, params, tcsr_like, receivers, edge_mask, num_heads, softmax,
+            gather, interpret,
+        )
+
+    def fwd(x, params):
+        return fused(x, params), (x, params)
+
+    def bwd(res, g):
+        x_, params_ = res
+
+        def ref_fn(x_, params_):
+            out, _ = amp_edge_attention(
+                x_, senders, receivers, edge_mask, params_, num_heads,
+                softmax=softmax, return_weights=False,
+            )
+            return out
+
+        _, vjp = jax.vjp(ref_fn, x_, params_)
+        return vjp(g)
+
+    fused.defvjp(fwd, bwd)
+    return fused(x, params)
+
+
+def _pallas_core_dynamic(
+    x, params, tcsr, receivers, edge_mask, num_heads, softmax, gather, interpret
+):
+    """Like amp_edge_attention_pallas_core but tcsr leaves are traced
+    arrays already shaped [T, 1, EMAX]."""
+    n, s, d = x.shape
+    qkv = x @ params.w_qkv + params.b_qkv
+    align = 16 if x.dtype == jnp.bfloat16 else 8
+    sp = -(-s // align) * align
+    if sp != s:
+        qkv = jnp.pad(qkv, ((0, 0), (0, sp - s), (0, 0)))
+    q_rows = qkv[..., :d].reshape(n * sp, d)
+    kv_rows = qkv[..., d:].reshape(n * sp, 2 * d)
+    n_tiles_nodes = tcsr.num_tiles * tcsr.tile_nodes
+    if n_tiles_nodes > n:
+        pad = (n_tiles_nodes - n) * sp
+        q_rows = jnp.pad(q_rows, ((0, pad), (0, 0)))
+        kv_rows = jnp.pad(kv_rows, ((0, pad), (0, 0)))
+    group = 8 if tcsr.edges_per_tile % 8 == 0 else 1
+    sums = _fused_edge_sums(
+        q_rows, kv_rows, tcsr.senders, tcsr.recv_local, tcsr.valid,
+        num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
+        group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
         gather=gather, interpret=interpret,
     )
     sums = sums[: n * sp].reshape(n, sp, d)[:, :s, :]
@@ -361,7 +455,7 @@ def make_pallas_edge_attention(
     num_heads: int,
     softmax: bool = True,
     tile_nodes: int = 64,
-    group: int = 4,
+    group: int = 8,
     gather: str = "vmem",
     interpret: bool = False,
 ):

@@ -29,8 +29,12 @@ def build_tiled_csr(
     edge_mask: np.ndarray,
     num_nodes_padded: int,
     tile_nodes: int = 64,
-    group: int = 4,
+    group: int = 8,
+    edges_per_tile: int = 0,
 ) -> TiledCSR:
+    """Pass edges_per_tile > 0 to FIX the per-tile edge budget so layouts
+    for different subgraphs share one static shape (one compiled kernel);
+    raises if any tile overflows the budget."""
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
     edge_mask = np.asarray(edge_mask).astype(bool)
@@ -43,10 +47,20 @@ def build_tiled_csr(
     s, r = senders[sel], receivers[sel]
     tile_of_edge = r // tn
     counts = np.bincount(tile_of_edge, minlength=t)
-    emax = int(counts.max()) if counts.size and counts.max() > 0 else group
+    need = int(counts.max()) if counts.size and counts.max() > 0 else group
     # multiple of the group size AND of 128 (TPU SMEM block lane constraint)
     step = int(np.lcm(group, 128))
-    emax = ((emax + step - 1) // step) * step
+    if edges_per_tile:
+        if need > edges_per_tile:
+            raise ValueError(
+                f"tile edge budget {edges_per_tile} < required {need}; "
+                f"raise edges_per_tile or lower tile_nodes"
+            )
+        if edges_per_tile % step:
+            raise ValueError(f"edges_per_tile must be a multiple of {step}")
+        emax = edges_per_tile
+    else:
+        emax = ((need + step - 1) // step) * step
 
     out_s = np.zeros((t, emax), np.int32)
     out_r = np.zeros((t, emax), np.int32)

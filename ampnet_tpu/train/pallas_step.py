@@ -1,0 +1,95 @@
+"""Training steps backed by the fused Pallas edge-attention kernel.
+
+The tiled-CSR edge layout is DATA: computed per (sub)graph on host with a
+fixed per-tile edge budget, then fed to one compiled executable — so
+GraphSAINT training hits a single compilation while both convs run fused.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ampnet_tpu.core.graph import Graph
+from ampnet_tpu.models.amp_gcn import AMPGCN
+from ampnet_tpu.ops.pallas.edge_attention_fused import amp_edge_attention_pallas
+from ampnet_tpu.ops.pallas.format import build_tiled_csr
+from ampnet_tpu.train.losses import masked_accuracy, masked_mean_nll, saint_weighted_nll
+from ampnet_tpu.train.state import TrainState, split_rngs
+
+
+class EdgeLayout(NamedTuple):
+    tile_senders: jnp.ndarray  # [T, EMAX]
+    tile_recv: jnp.ndarray
+    tile_valid: jnp.ndarray
+
+
+def compute_layout(graph: Graph, tile_nodes: int = 64, edges_per_tile: int = 0) -> EdgeLayout:
+    """Host-side layout build (numpy). Use a fixed edges_per_tile budget to
+    share one executable across subgraphs."""
+    tcsr = build_tiled_csr(
+        np.asarray(graph.senders), np.asarray(graph.receivers),
+        np.asarray(graph.edge_mask), graph.num_nodes_padded,
+        tile_nodes=tile_nodes, edges_per_tile=edges_per_tile,
+    )
+    return EdgeLayout(
+        jnp.asarray(tcsr.senders), jnp.asarray(tcsr.recv_local), jnp.asarray(tcsr.valid)
+    )
+
+
+def default_edge_budget(num_edges_padded: int, num_tiles: int, slack: float = 2.0) -> int:
+    """A safe fixed per-tile budget: slack * average edges per tile,
+    rounded to the SMEM-block multiple."""
+    avg = max(1, num_edges_padded // max(1, num_tiles))
+    budget = int(avg * slack) + 128
+    return ((budget + 127) // 128) * 128
+
+
+def make_fused_fns(model: AMPGCN, graph: Graph, layout: EdgeLayout,
+                   tile_nodes: int = 64, gather: str = "vmem"):
+    cfg = model.config
+
+    def fused(x, params):
+        return amp_edge_attention_pallas(
+            x, params, graph.senders, graph.receivers, graph.edge_mask,
+            layout.tile_senders, layout.tile_recv, layout.tile_valid,
+            num_heads=cfg.num_heads, softmax=cfg.attn_softmax,
+            tile_nodes=tile_nodes, gather=gather,
+        )
+
+    return (fused, fused)
+
+
+def make_pallas_train_step(model: AMPGCN, loss_mode: str = "saint",
+                           tile_nodes: int = 64, gather: str = "vmem"):
+    """Jitted step(state, graph, layout) with fused convs."""
+
+    @jax.jit
+    def step(state: TrainState, graph: Graph, layout: EdgeLayout):
+        new_rng, rngs = split_rngs(state.rng)
+
+        def loss_fn(params):
+            fns = make_fused_fns(model, graph, layout, tile_nodes, gather)
+            out = model.apply(
+                {"params": params}, graph, deterministic=False,
+                return_aux=False, rngs=rngs, fused_fns=fns,
+            )
+            if loss_mode == "saint":
+                loss = saint_weighted_nll(
+                    out.logits, graph.y, graph.node_norm,
+                    graph.train_mask & graph.node_mask,
+                )
+            else:
+                loss = masked_mean_nll(out.logits, graph.y, graph.train_mask & graph.node_mask)
+            return loss, out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads, rng=new_rng)
+        return new_state, {
+            "loss": loss,
+            "train_acc": masked_accuracy(out.logits, graph.y, graph.train_mask & graph.node_mask),
+        }
+
+    return step

@@ -1,0 +1,103 @@
+"""Dynamic-layout fused train step (interpret mode on CPU): one executable
+across differing subgraph edge structures + gradient flow through the
+custom VJP."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ampnet_tpu.core.config import AMPGCNConfig
+from ampnet_tpu.core.graph import from_arrays
+from ampnet_tpu.models import AMPGCN
+from ampnet_tpu.ops.pallas import edge_attention_fused as eaf
+from ampnet_tpu.train import create_train_state, make_optimizer
+from ampnet_tpu.train.pallas_step import (
+    EdgeLayout,
+    compute_layout,
+    default_edge_budget,
+    make_fused_fns,
+)
+
+CFG = AMPGCNConfig(
+    embedding_dim=8, num_heads=2, num_node_features=24, num_sampled_vectors=6,
+    output_dim=3, feat_emb_dim=7, val_emb_dim=1,
+    dropout_rate=0.0, dropout_adj_rate=0.0,
+)
+
+
+def tiny_graph(rng, n=16, e=40, f=24):
+    x = (rng.random((n, f)) < 0.3).astype(np.float32)
+    x[x.sum(1) == 0, 0] = 1.0
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    y = rng.integers(0, 3, n)
+    return from_arrays(
+        x, ei, y=y, train_mask=np.ones(n, bool),
+        node_norm=np.ones(n, np.float32), pad_nodes_to=16, pad_edges_to=64,
+    )
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    # run the kernel in interpreter mode on CPU
+    orig = eaf._pallas_core_dynamic
+
+    def patched(x, params, tcsr, receivers, edge_mask, num_heads, softmax, gather, interpret):
+        return orig(x, params, tcsr, receivers, edge_mask, num_heads, softmax, gather, True)
+
+    monkeypatch.setattr(eaf, "_pallas_core_dynamic", patched)
+
+
+def test_fused_model_forward_matches_xla(rng):
+    g = tiny_graph(rng)
+    model = AMPGCN(config=CFG)
+    k = jax.random.PRNGKey(0)
+    variables = model.init({"params": k, "sample": k, "dropout": k, "edges": k}, g)
+    layout = compute_layout(g, tile_nodes=8, edges_per_tile=128)
+    fns = make_fused_fns(model, g, layout, tile_nodes=8)
+    idx = jnp.zeros((g.num_nodes_padded, CFG.num_sampled_vectors), jnp.int32)
+    out_fused = model.apply(variables, g, deterministic=True, sampled_idx=idx,
+                            return_aux=False, fused_fns=fns)
+    out_ref = model.apply(variables, g, deterministic=True, sampled_idx=idx,
+                          return_aux=False)
+    np.testing.assert_allclose(
+        np.asarray(out_fused.logits), np.asarray(out_ref.logits), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_fused_gradients_match_xla(rng):
+    g = tiny_graph(rng)
+    model = AMPGCN(config=CFG)
+    k = jax.random.PRNGKey(0)
+    variables = model.init({"params": k, "sample": k, "dropout": k, "edges": k}, g)
+    layout = compute_layout(g, tile_nodes=8, edges_per_tile=128)
+    fns = make_fused_fns(model, g, layout, tile_nodes=8)
+    idx = jnp.zeros((g.num_nodes_padded, CFG.num_sampled_vectors), jnp.int32)
+
+    def loss(params, fused):
+        out = model.apply({"params": params}, g, deterministic=True,
+                          sampled_idx=idx, return_aux=False,
+                          fused_fns=fns if fused else None)
+        return jnp.sum(out.logits ** 2)
+
+    g1 = jax.grad(lambda p: loss(p, True))(variables["params"])
+    g2 = jax.grad(lambda p: loss(p, False))(variables["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4),
+        g1, g2,
+    )
+
+
+def test_shared_executable_across_subgraphs(rng):
+    """Two graphs with different edges produce layouts of identical shape."""
+    g1, g2 = tiny_graph(rng), tiny_graph(rng)
+    l1 = compute_layout(g1, tile_nodes=8, edges_per_tile=128)
+    l2 = compute_layout(g2, tile_nodes=8, edges_per_tile=128)
+    assert l1.tile_senders.shape == l2.tile_senders.shape
+    assert not np.array_equal(np.asarray(l1.tile_senders), np.asarray(l2.tile_senders))
+
+
+def test_default_edge_budget():
+    b = default_edge_budget(10624, 43)
+    assert b % 128 == 0 and b >= 10624 // 43
