@@ -78,6 +78,9 @@ class AMPGCNConfig:
     use_pallas: bool = False
     frontend: str = "table"
     scaler: str = "batch"
+    # compute dtype for the conv hot path ('float32' | 'bfloat16');
+    # params and the classifier head stay float32
+    compute_dtype: str = "float32"
 
     def __post_init__(self):
         if self.embedding_dim != self.feat_emb_dim + self.val_emb_dim:

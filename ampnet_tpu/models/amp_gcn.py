@@ -79,11 +79,15 @@ class AMPGCN(nn.Module):
         )(x)
 
         x = drop("d1", tokens)
+        compute_dtype = (
+            jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        )
         conv1 = AMPConv(
             embed_dim=d,
             num_heads=cfg.num_heads,
             softmax=cfg.attn_softmax,
             use_pallas=cfg.use_pallas,
+            dtype=compute_dtype,
             name="conv1",
         )
         x, attn1 = conv1(
@@ -100,6 +104,7 @@ class AMPGCN(nn.Module):
             num_heads=cfg.num_heads,
             softmax=cfg.attn_softmax,
             use_pallas=cfg.use_pallas,
+            dtype=compute_dtype,
             name="conv2",
         )
         x, attn2 = conv2(

@@ -32,7 +32,7 @@ class AMPNetClassifier(nn.Module):
     dropout_rate: float = 0.6
 
     @nn.compact
-    def __call__(self, graph: Graph, deterministic: bool = True) -> ModelOutput:
+    def __call__(self, graph: Graph, deterministic: bool = True, return_aux: bool = True, **kwargs) -> ModelOutput:
         x = graph.x
         if x.ndim == 2:  # accept flattened [N, S*D] like the reference
             x = x.reshape(x.shape[0], self.n_original_features, self.embed_dim)
@@ -82,7 +82,7 @@ class GCN(nn.Module):
     dropout_adj_rate: float = 0.1
 
     @nn.compact
-    def __call__(self, graph: Graph, deterministic: bool = True) -> ModelOutput:
+    def __call__(self, graph: Graph, deterministic: bool = True, return_aux: bool = True, **kwargs) -> ModelOutput:
         emb_dim = self.feat_emb_dim + self.val_emb_dim
         edge_mask = graph.edge_mask
         if not deterministic and self.dropout_adj_rate > 0.0:
@@ -127,7 +127,7 @@ class GCNOneLayer(nn.Module):
     dropout_adj_rate: float = 0.1
 
     @nn.compact
-    def __call__(self, graph: Graph, deterministic: bool = True) -> ModelOutput:
+    def __call__(self, graph: Graph, deterministic: bool = True, return_aux: bool = True, **kwargs) -> ModelOutput:
         emb_dim = self.feat_emb_dim + self.val_emb_dim
         f = self.num_node_features
         edge_mask = graph.edge_mask
@@ -164,7 +164,7 @@ class LinearLayer(nn.Module):
     out_dim: int = 1
 
     @nn.compact
-    def __call__(self, graph: Graph, deterministic: bool = True) -> ModelOutput:
+    def __call__(self, graph: Graph, deterministic: bool = True, return_aux: bool = True, **kwargs) -> ModelOutput:
         return ModelOutput(logits=nn.Dense(self.out_dim, name="lin1")(graph.x), aux={})
 
 
@@ -175,7 +175,7 @@ class TwoLayerSigmoid(nn.Module):
     out_dim: int = 1
 
     @nn.compact
-    def __call__(self, graph: Graph, deterministic: bool = True) -> ModelOutput:
+    def __call__(self, graph: Graph, deterministic: bool = True, return_aux: bool = True, **kwargs) -> ModelOutput:
         x = nn.Dense(self.hidden_dim, name="lin1")(graph.x)
         x = nn.sigmoid(x)
         return ModelOutput(logits=nn.Dense(self.out_dim, name="lin2")(x), aux={})

@@ -9,7 +9,7 @@ intra-process parallelism — SURVEY §5.2).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,7 @@ class AMPConv(nn.Module):
     softmax: bool = True          # False = no-softmax mode (see SURVEY §2.1)
     attn_dropout: float = 0.0
     use_pallas: bool = False
+    dtype: Any = None             # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     @nn.compact
     def __call__(
@@ -55,6 +56,9 @@ class AMPConv(nn.Module):
             w_out=self.param("w_out", nn.initializers.xavier_uniform(), (d, d)),
             b_out=self.param("b_out", nn.initializers.zeros, (d,)),
         )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            params = MHAParams(*(p.astype(self.dtype) for p in params))
         dropout_rng = None
         if self.attn_dropout > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")

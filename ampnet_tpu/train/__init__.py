@@ -16,6 +16,7 @@ from ampnet_tpu.train.state import (
 from ampnet_tpu.train.checkpoint import (
     save_checkpoint,
     load_checkpoint,
+    load_checkpoint_params,
     save_params,
     load_params,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "split_rngs",
     "save_checkpoint",
     "load_checkpoint",
+    "load_checkpoint_params",
     "save_params",
     "load_params",
     "train_full_batch",

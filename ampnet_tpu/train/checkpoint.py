@@ -28,6 +28,9 @@ def save_checkpoint(
         "epoch": epoch,
         "validation_loss": validation_loss,
         "state_bytes": serialization.to_bytes(state),
+        # params stored separately so eval-time reload works without
+        # reconstructing the exact optimizer (visualizer pattern, §3.4)
+        "params_bytes": serialization.to_bytes(state.params),
         "extra": extra or {},
     }
     tmp = path + ".tmp"
@@ -48,6 +51,19 @@ def load_checkpoint(path: str, state_template) -> Dict[str, Any]:
         "validation_loss": payload["validation_loss"],
         "extra": payload.get("extra", {}),
     }
+
+
+def load_checkpoint_params(path: str, params_template):
+    """Restore only the params from a full checkpoint (no optimizer
+    reconstruction needed — for eval/visualization reload)."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    if "params_bytes" in payload:
+        return serialization.from_bytes(params_template, payload["params_bytes"])
+    raise KeyError(
+        "checkpoint predates params_bytes; use load_checkpoint with a "
+        "matching optimizer template"
+    )
 
 
 def save_params(path: str, params) -> str:

@@ -12,9 +12,27 @@ both measured on the same chip.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "AMPNET_JAX_CACHE", os.path.expanduser("~/.cache/jax_ampnet")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
 
 
 def build_inputs(n=2708, e=10556, s=20, d=128, seed=0, dtype="float32"):
@@ -62,23 +80,30 @@ def optimized(x, senders, receivers, p, num_heads):
 
 
 def time_fn(fn, x, *args, iters=20, warmup=2):
-    """Serial-dependency timing: each iteration's input depends on the
-    previous output, so repeated calls cannot be deduped/cached by the
-    runtime (remote-execution relays memoize identical calls)."""
+    """Pipelined-throughput timing with genuinely varying inputs.
+
+    The remote-execution relay can dedupe repeated identical (or
+    numerically converged) calls, so each iteration perturbs the input by
+    an iteration-dependent O(1%) factor — large enough to change every
+    f32 mantissa — before invoking the op. Reported time is per-iteration
+    pipelined throughput over `iters` calls.
+    """
     import jax
+    import jax.numpy as jnp
 
-    def chained(x, *a):
-        out = fn(x, *a)
-        return x + out * 1e-6, out
+    def step(x, i, *a):
+        xi = x * (1.0 + 0.01 * jnp.sin(i))
+        return fn(xi, *a)
 
-    jitted = jax.jit(chained)
-    for _ in range(warmup):
-        x, out = jitted(x, *args)
-    jax.block_until_ready(x)
+    jitted = jax.jit(step)
+    for w in range(warmup):
+        out = jitted(x, float(w), *args)
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        x, out = jitted(x, *args)
-    jax.block_until_ready(x)
+    outs = []
+    for i in range(iters):
+        outs.append(jitted(x, float(warmup + i), *args))
+    jax.block_until_ready(outs)
     return (time.perf_counter() - t0) / iters
 
 

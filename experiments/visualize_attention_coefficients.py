@@ -13,7 +13,7 @@ from ampnet_tpu.core.config import AMPGCNConfig
 from ampnet_tpu.data.synthetic import get_xor_graphs
 from ampnet_tpu.interpret.attention import plot_xor_attn_weights
 from ampnet_tpu.models import AMPGCN
-from ampnet_tpu.train import create_train_state, load_checkpoint, make_optimizer
+from ampnet_tpu.train import create_train_state, load_checkpoint_params, make_optimizer
 
 
 def main(checkpoint_path=None, save_path="xor_attn_plots", softmax_attn=True):
@@ -25,10 +25,11 @@ def main(checkpoint_path=None, save_path="xor_attn_plots", softmax_attn=True):
     )
     model = AMPGCN(config=cfg)
     state = create_train_state(model, train_g, make_optimizer(1e-3), seed=0)
+    params = state.params
     if checkpoint_path:
-        state = load_checkpoint(checkpoint_path, state)["state"]
+        params = load_checkpoint_params(checkpoint_path, params)
     out = model.apply(
-        {"params": state.params}, train_g, deterministic=True,
+        {"params": params}, train_g, deterministic=True,
         rngs={"sample": jax.random.PRNGKey(0)},
     )
     # no-softmax weights are unbounded: keep the reference's wide bins (:188)

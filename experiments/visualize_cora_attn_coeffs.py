@@ -13,7 +13,7 @@ from common import cora_graph
 from ampnet_tpu.core.config import AMPGCNConfig
 from ampnet_tpu.interpret.attention import visualize_attention_coefficients
 from ampnet_tpu.models import AMPGCN
-from ampnet_tpu.train import create_train_state, load_checkpoint, make_optimizer
+from ampnet_tpu.train import create_train_state, load_checkpoint_params, make_optimizer
 
 
 def main(checkpoint_path=None, save_path="attn_coeff_plots", class_pairs=((0, 0), (3, 3), (0, 3))):
@@ -25,11 +25,12 @@ def main(checkpoint_path=None, save_path="attn_coeff_plots", class_pairs=((0, 0)
     model = AMPGCN(config=cfg)
     tx = make_optimizer(0.1)
     state = create_train_state(model, g, tx, seed=0)
+    params = state.params
     if checkpoint_path:
-        state = load_checkpoint(checkpoint_path, state)["state"]
+        params = load_checkpoint_params(checkpoint_path, params)
 
     out = model.apply(
-        {"params": state.params}, g, deterministic=True,
+        {"params": params}, g, deterministic=True,
         rngs={"sample": jax.random.PRNGKey(0)},
     )
     heatmaps = visualize_attention_coefficients(
