@@ -1,0 +1,246 @@
+"""Fused backward pass for the Pallas edge-attention kernel.
+
+Two-pass design (the sender-side scatter is the hard part — SURVEY §7.4):
+
+  Pass A (Pallas, receiver-tiled like the forward): per edge group,
+  recompute scores/softmax from the projected Q/K rows, then
+    dV = W^T dMsg,  dW = dMsg V^T,  dS = softmax-bwd(dW),
+    dQ = dS K * scale  (accumulated into the tile's receiver rows),
+    dK = dS^T Q * scale,
+  streaming per-edge dK|dV rows to an HBM output via async DMA.
+
+  Pass B (XLA): segment-sum the dK|dV stream BY SENDER using the layout's
+  flattened sender ids (masked by edge validity, so never-written rows of
+  skipped padded groups are excluded), then standard matmuls for
+  dX / dW_qkv / dW_out.
+
+Parity vs jax.vjp of the XLA reference path is tested in
+tests/test_pallas_bwd.py (interpret mode).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _bwd_kernel_vmem(
+    senders_ref,   # SMEM [1, 1, EMAX]
+    recv_ref,      # SMEM [1, 1, EMAX]
+    valid_ref,     # SMEM [1, 1, EMAX]
+    q_ref,         # VMEM [TN*SP, D] this tile's projected Q rows
+    kv_ref,        # VMEM [Nt*SP, 2D] projected K|V rows (resident)
+    dsum_ref,      # VMEM [TN*SP, D] d(aggregated sums) rows for this tile
+    dq_out_ref,    # VMEM [TN*SP, D] out: dQ accumulated per receiver
+    dkv_stream,    # ANY  [T*EMAX*SP, 2D] out: per-edge dK|dV rows
+    dqacc_ref,     # scratch VMEM [TN*SP, D] f32
+    qbuf_ref,      # scratch VMEM [G*SP, D]
+    kvbuf_ref,     # scratch VMEM [G*SP, 2D]
+    dmbuf_ref,     # scratch VMEM [G*SP, D]
+    dkvbuf_ref,    # scratch VMEM [2, G*SP, 2D] f32
+    sems,          # DMA sems (2,)
+    *,
+    s: int,
+    sp: int,
+    d: int,
+    num_heads: int,
+    group: int,
+    emax: int,
+    softmax: bool,
+):
+    g = group
+    dh = d // num_heads
+    scale = 1.0 / (dh ** 0.5)
+    n_groups = emax // g
+    t = pl.program_id(0)
+
+    dqacc_ref[:] = jnp.zeros(dqacc_ref.shape, dqacc_ref.dtype)
+
+    blk_row = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 0) // sp
+    blk_col = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 1) // sp
+    col_tok = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 1) % sp
+    block_mask = (blk_row == blk_col) & (col_tok < s)
+
+    def stream_dma(gi, slot):
+        row0 = (t * emax + gi * g) * sp
+        return pltpu.make_async_copy(
+            dkvbuf_ref.at[slot],
+            dkv_stream.at[pl.ds(row0, g * sp), :],
+            sems.at[slot],
+        )
+
+    def body(gi, _):
+        @pl.when(valid_ref[0, 0, gi * g] != 0)
+        def _run():
+            _group(gi)
+        return 0
+
+    def _group(gi):
+        slot = jax.lax.rem(gi, 2)
+        for j in range(g):
+            ns = senders_ref[0, 0, gi * g + j]
+            r = recv_ref[0, 0, gi * g + j]
+            val = valid_ref[0, 0, gi * g + j].astype(q_ref.dtype)
+            kvbuf_ref[pl.ds(j * sp, sp), :] = kv_ref[pl.ds(ns * sp, sp), :]
+            qbuf_ref[pl.ds(j * sp, sp), :] = q_ref[pl.ds(r * sp, sp), :]
+            # invalid edges contribute nothing: zero their dMsg rows
+            dmbuf_ref[pl.ds(j * sp, sp), :] = dsum_ref[pl.ds(r * sp, sp), :] * val
+
+        q = qbuf_ref[:]
+        kv = kvbuf_ref[:]
+        dm = dmbuf_ref[:]
+        dtype = q.dtype
+        dq_blocks = []
+        dk_blocks = []
+        dv_blocks = []
+        for h in range(num_heads):
+            qh = q[:, h * dh : (h + 1) * dh]
+            kh = kv[:, h * dh : (h + 1) * dh]
+            vh = kv[:, d + h * dh : d + (h + 1) * dh]
+            dmh = dm[:, h * dh : (h + 1) * dh]
+
+            scores = jax.lax.dot_general(
+                qh * jnp.asarray(scale, dtype), kh,
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            if softmax:
+                scores = jnp.where(block_mask, scores, -jnp.inf)
+                mx = jnp.max(scores, axis=1, keepdims=True)
+                ex = jnp.exp(scores - mx)
+                w = ex / jnp.sum(ex, axis=1, keepdims=True)
+            else:
+                w = jnp.where(block_mask, scores, 0.0)
+            wt = w.astype(dtype)
+
+            # dV = W^T dMsg  (contract over query rows)
+            dv_h = jax.lax.dot_general(
+                wt, dmh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            # dW = dMsg V^T
+            dwm = jax.lax.dot_general(
+                dmh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            if softmax:
+                tmp = dwm * w
+                ds = w * (dwm - jnp.sum(tmp, axis=1, keepdims=True))
+            else:
+                ds = jnp.where(block_mask, dwm, 0.0)
+            ds = ds.astype(dtype)
+            dq_h = jax.lax.dot_general(
+                ds, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            dk_h = jax.lax.dot_general(
+                ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            dq_blocks.append(dq_h)
+            dk_blocks.append(dk_h)
+            dv_blocks.append(dv_h)
+
+        dq_g = jnp.concatenate(dq_blocks, axis=1)           # [G*SP, D] f32
+        dkv_g = jnp.concatenate(dk_blocks + dv_blocks, axis=1)  # [G*SP, 2D]
+
+        # wait for the previous stream write using this slot, then write
+        @pl.when(gi >= 2)
+        def _():
+            stream_dma(gi - 2, slot).wait()
+        dkvbuf_ref[slot] = dkv_g
+        stream_dma(gi, slot).start()
+
+        for j in range(g):
+            r = recv_ref[0, 0, gi * g + j]
+            val = valid_ref[0, 0, gi * g + j].astype(jnp.float32)
+            block = dq_g[j * sp : (j + 1) * sp, :] * val
+            cur = dqacc_ref[pl.ds(r * sp, sp), :]
+            dqacc_ref[pl.ds(r * sp, sp), :] = cur + block
+
+    jax.lax.fori_loop(0, n_groups, body, 0)
+
+    # drain the last (up to 2) outstanding stream DMAs. Valid edges are a
+    # packed prefix, so valid group count = #groups whose first edge is
+    # valid; the in-loop waits covered groups < nv-2.
+    def count_body(gi, c):
+        return c + (valid_ref[0, 0, gi * g] != 0).astype(jnp.int32)
+
+    nv = jax.lax.fori_loop(0, n_groups, count_body, jnp.int32(0))
+
+    @pl.when(nv >= 1)
+    def _():
+        stream_dma(nv - 1, jax.lax.rem(nv - 1, 2)).wait()
+
+    @pl.when(nv >= 2)
+    def _():
+        stream_dma(nv - 2, jax.lax.rem(nv - 2, 2)).wait()
+
+    dq_out_ref[:] = dqacc_ref[:].astype(dq_out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax",
+        "s", "interpret",
+    ),
+)
+def fused_edge_bwd(
+    q_rows: jnp.ndarray,      # [Nt*SP, D]
+    kv_rows: jnp.ndarray,     # [Nt*SP, 2D]
+    dsum_rows: jnp.ndarray,   # [Nt*SP, D]
+    tile_senders: jnp.ndarray,  # [T, 1, EMAX]
+    tile_recv: jnp.ndarray,
+    tile_valid: jnp.ndarray,
+    *,
+    num_heads: int,
+    softmax: bool,
+    tile_nodes: int,
+    group: int,
+    num_tiles: int,
+    emax: int,
+    s: int,
+    interpret: bool = False,
+):
+    """Returns (dq_rows [Nt*SP, D] f32, dkv_stream [T*EMAX*SP, 2D] f32)."""
+    sp = q_rows.shape[0] // (num_tiles * tile_nodes)
+    d = q_rows.shape[1]
+    tn = tile_nodes
+    kernel = functools.partial(
+        _bwd_kernel_vmem,
+        s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
+        softmax=softmax,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tn * sp, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (kv_rows.shape[0], 2 * d), lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((tn * sp, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tn * sp, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles * tn * sp, d), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles * emax * sp, 2 * d), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tn * sp, d), jnp.float32),
+            pltpu.VMEM((group * sp, d), q_rows.dtype),
+            pltpu.VMEM((group * sp, 2 * d), kv_rows.dtype),
+            pltpu.VMEM((group * sp, d), q_rows.dtype),
+            pltpu.VMEM((2, group * sp, 2 * d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(tile_senders, tile_recv, tile_valid, q_rows, kv_rows, dsum_rows)

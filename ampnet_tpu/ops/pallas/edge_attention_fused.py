@@ -373,6 +373,7 @@ def amp_edge_attention_pallas(
     softmax: bool = True,
     tile_nodes: int = 64,
     gather: str = "vmem",
+    fused_bwd: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Jittable fused edge attention with a DYNAMIC tiled-CSR layout.
@@ -380,7 +381,8 @@ def amp_edge_attention_pallas(
     The layout arrays are data (built per subgraph on host by
     build_tiled_csr with a fixed edges_per_tile budget), so GraphSAINT
     subgraphs with differing edges share one compiled executable.
-    custom VJP: backward recomputes through the XLA reference path.
+    custom VJP: fused Pallas backward (edge_attention_bwd.py) by default;
+    fused_bwd=False falls back to recompute through the XLA path.
     """
     num_tiles, emax = tile_senders.shape
     tcsr_like = TiledCSR(
@@ -398,7 +400,7 @@ def amp_edge_attention_pallas(
     def fwd(x, params):
         return fused(x, params), (x, params)
 
-    def bwd(res, g):
+    def bwd_xla(res, g):
         x_, params_ = res
 
         def ref_fn(x_, params_):
@@ -411,8 +413,95 @@ def amp_edge_attention_pallas(
         _, vjp = jax.vjp(ref_fn, x_, params_)
         return vjp(g)
 
-    fused.defvjp(fwd, bwd)
+    def bwd_fused(res, g):
+        x_, params_ = res
+        return _pallas_bwd_dynamic(
+            x_, params_, g, tcsr_like, receivers, edge_mask, num_heads,
+            softmax, interpret,
+        )
+
+    fused.defvjp(fwd, bwd_fused if fused_bwd else bwd_xla)
     return fused(x, params)
+
+
+def _pallas_bwd_dynamic(
+    x, params, gout, tcsr, receivers, edge_mask, num_heads, softmax, interpret
+):
+    """Full backward: out-proj/mean grads (XLA) -> pass A kernel
+    (recompute + dQ/dK/dV) -> sender segment-sum + projection grads (XLA).
+    See ops/pallas/edge_attention_bwd.py."""
+    from ampnet_tpu.ops.pallas.edge_attention_bwd import fused_edge_bwd
+    from ampnet_tpu.ops.segment import segment_sum
+
+    n, s, d = x.shape
+    align = 16 if x.dtype == jnp.bfloat16 else 8
+    sp = -(-s // align) * align
+    qkv = x @ params.w_qkv + params.b_qkv
+    if sp != s:
+        qkv = jnp.pad(qkv, ((0, 0), (0, sp - s), (0, 0)))
+    q_rows = qkv[..., :d].reshape(n * sp, d)
+    kv_rows = qkv[..., d:].reshape(n * sp, 2 * d)
+    nt = tcsr.num_tiles * tcsr.tile_nodes
+    if nt > n:
+        pad = (nt - n) * sp
+        q_rows = jnp.pad(q_rows, ((0, pad), (0, 0)))
+        kv_rows = jnp.pad(kv_rows, ((0, pad), (0, 0)))
+
+    count = segment_count(receivers, n, edge_mask)
+    m0 = (count > 0)[:, None, None]
+    gm = jnp.where(m0, gout, 0.0)
+
+    # recompute mean via forward kernel (residual-free; one extra fwd pass)
+    group = 8 if tcsr.edges_per_tile % 8 == 0 else 1
+    sums = _fused_edge_sums(
+        q_rows, kv_rows, tcsr.senders, tcsr.recv_local, tcsr.valid,
+        num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
+        group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
+        gather="vmem", interpret=interpret,
+    )
+    mean = (sums[: n * sp].reshape(n, sp, d)[:, :s, :]
+            / jnp.maximum(count, 1.0)[:, None, None])
+
+    # out-projection grads
+    d_wout = jnp.einsum("nsd,nse->de", mean, gm, preferred_element_type=jnp.float32)
+    d_bout = jnp.sum(gm, axis=(0, 1))
+    # gradient w.r.t. the per-receiver SUM of messages
+    dsum = (gm @ params.w_out.T) / jnp.maximum(count, 1.0)[:, None, None]
+    dsum_rows = dsum
+    if sp != s:
+        dsum_rows = jnp.pad(dsum_rows, ((0, 0), (0, sp - s), (0, 0)))
+    dsum_rows = dsum_rows.reshape(n * sp, d)
+    if nt > n:
+        dsum_rows = jnp.pad(dsum_rows, ((0, (nt - n) * sp), (0, 0)))
+
+    dq_rows, dkv_stream = fused_edge_bwd(
+        q_rows, kv_rows, dsum_rows.astype(q_rows.dtype),
+        tcsr.senders, tcsr.recv_local, tcsr.valid,
+        num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
+        group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
+        interpret=interpret,
+    )
+    dq_nodes = dq_rows[: n * sp].reshape(n, sp, d)[:, :s, :]
+
+    # pass B: scatter dK|dV to sender nodes via masked segment-sum over the
+    # layout's flattened sender ids (skipped padded groups never wrote
+    # their stream rows — the validity mask excludes them)
+    flat_senders = tcsr.senders.reshape(-1)            # [T*EMAX]
+    flat_valid = tcsr.valid.reshape(-1) != 0
+    stream = dkv_stream.reshape(tcsr.num_tiles * tcsr.edges_per_tile, sp, 2 * d)
+    dkv_nodes = segment_sum(stream, flat_senders, nt, flat_valid)
+    dkv_nodes = dkv_nodes[:n, :s, :]                   # [N, S, 2D]
+
+    dqkv = jnp.concatenate([dq_nodes, dkv_nodes], axis=-1)   # [N, S, 3D]
+    dx = (dqkv @ params.w_qkv.T).astype(x.dtype)
+    d_wqkv = jnp.einsum("nsd,nse->de", x, dqkv, preferred_element_type=jnp.float32)
+    d_bqkv = jnp.sum(dqkv, axis=(0, 1))
+    return dx, MHAParams(
+        w_qkv=d_wqkv.astype(params.w_qkv.dtype),
+        b_qkv=d_bqkv.astype(params.b_qkv.dtype),
+        w_out=d_wout.astype(params.w_out.dtype),
+        b_out=d_bout.astype(params.b_out.dtype),
+    )
 
 
 def _pallas_core_dynamic(

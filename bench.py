@@ -80,30 +80,32 @@ def optimized(x, senders, receivers, p, num_heads):
 
 
 def time_fn(fn, x, *args, iters=20, warmup=2):
-    """Pipelined-throughput timing with genuinely varying inputs.
+    """Serialized per-chip latency timing.
 
-    The remote-execution relay can dedupe repeated identical (or
-    numerically converged) calls, so each iteration perturbs the input by
-    an iteration-dependent O(1%) factor — large enough to change every
-    f32 mantissa — before invoking the op. Reported time is per-iteration
-    pipelined throughput over `iters` calls.
+    Two hazards on tunneled/remote TPU runtimes make naive loops lie:
+    (1) repeated identical or numerically-converged calls can be deduped,
+    (2) independent dispatches can fan out over multiple cores, inflating
+    apparent per-chip throughput. So each iteration (a) depends on the
+    previous output (serial chain — no fan-out) and (b) applies an
+    iteration-indexed O(10%) multiplicative perturbation (never converges
+    — no dedupe). Reported time is per-iteration sequential latency.
     """
     import jax
     import jax.numpy as jnp
 
     def step(x, i, *a):
-        xi = x * (1.0 + 0.01 * jnp.sin(i))
-        return fn(xi, *a)
+        out = fn(x, *a)
+        nxt = x * (0.95 + 0.1 * jnp.sin(i)) + out.astype(x.dtype) * 1e-3
+        return nxt, out
 
     jitted = jax.jit(step)
     for w in range(warmup):
-        out = jitted(x, float(w), *args)
-    jax.block_until_ready(out)
+        x, out = jitted(x, float(w), *args)
+    jax.block_until_ready(x)
     t0 = time.perf_counter()
-    outs = []
     for i in range(iters):
-        outs.append(jitted(x, float(warmup + i), *args))
-    jax.block_until_ready(outs)
+        x, out = jitted(x, float(warmup + i), *args)
+    jax.block_until_ready(x)
     return (time.perf_counter() - t0) / iters
 
 
