@@ -19,7 +19,8 @@ from ampnet_tpu.train import Logfile, create_run_dir, train_saint
 TRAIN_AMPCONV = True  # reference switch at :27
 
 
-def main(epochs=50, steps_per_epoch=200, train_ampconv=TRAIN_AMPCONV, run_base="runs"):
+def main(epochs=50, steps_per_epoch=200, train_ampconv=TRAIN_AMPCONV, run_base="runs",
+         fused=False):
     np.random.seed(1)  # reference seeds :20-23
     d, full_g = cora_graph()
     sampler = GraphSaintRandomWalkSampler(
@@ -43,9 +44,48 @@ def main(epochs=50, steps_per_epoch=200, train_ampconv=TRAIN_AMPCONV, run_base="
         cosine_t0=400, cosine_t_mult=2, checkpoint_every=10, run_dir=run_dir,
     )
     log = Logfile(f"{run_dir}/_details.txt")
-    result = train_saint(model, sampler, full_g, tcfg, log=log)
+    if fused and train_ampconv:
+        result = train_saint_fused(model, sampler, full_g, tcfg, log)
+    else:
+        result = train_saint(model, sampler, full_g, tcfg, log=log)
     plot_history(result["history"], run_dir)
     return result
+
+
+def train_saint_fused(model, sampler, full_g, tcfg, log):
+    """SAINT loop with the fused Pallas conv kernels: one executable across
+    subgraphs via a fixed per-tile edge budget."""
+    import jax
+
+    from ampnet_tpu.train import create_train_state, make_eval_step
+    from ampnet_tpu.train.loop import _opt
+    from ampnet_tpu.train.pallas_step import (
+        compute_layout,
+        default_edge_budget,
+        make_pallas_train_step,
+    )
+
+    probe = sampler.sample()
+    budget = default_edge_budget(
+        probe.num_edges_padded, probe.num_nodes_padded // 64, slack=4.0
+    )
+    state = create_train_state(model, probe, _opt(tcfg), seed=tcfg.seed)
+    step = make_pallas_train_step(model, loss_mode="saint")
+    eval_step = make_eval_step(model)
+    history = []
+    for epoch in range(tcfg.epochs):
+        for sub in sampler.prefetch():
+            layout = compute_layout(sub, tile_nodes=64, edges_per_tile=budget)
+            state, metrics = step(state, sub, layout)
+        row = {k: float(v) for k, v in metrics.items()}
+        row["epoch"] = epoch
+        history.append(row)
+        log.log(f"Epoch {epoch:4d} | loss {row['loss']:.4f} | "
+                f"sub train acc {row.get('train_acc', float('nan')):.4f}")
+    final = eval_step(state.params, full_g, jax.random.PRNGKey(tcfg.seed + 999))
+    final = {k: float(v) for k, v in final.items()}
+    log.log(f"Final Test Accuracy: {final.get('test_acc', float('nan')):.4f}")
+    return {"state": state, "history": history, "final_metrics": final}
 
 
 if __name__ == "__main__":
@@ -53,5 +93,6 @@ if __name__ == "__main__":
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--gcn", action="store_true", help="train the GCN baseline instead")
+    p.add_argument("--fused", action="store_true", help="use the fused Pallas conv kernels")
     a = p.parse_args()
-    main(a.epochs, a.steps, train_ampconv=not a.gcn)
+    main(a.epochs, a.steps, train_ampconv=not a.gcn, fused=a.fused)
