@@ -68,6 +68,31 @@ def plot_tsne_2d(
     return out
 
 
+def plot_umap_2d(
+    embeddings: np.ndarray,
+    labels: np.ndarray,
+    save_path: str,
+    name: str = "umap_2d",
+) -> Optional[str]:
+    """UMAP scatter (visualization/UMAP_testing.ipynb equivalent); returns
+    None when umap-learn isn't installed (it is an undeclared optional dep
+    in the reference too — SURVEY repo stats)."""
+    try:
+        import umap  # type: ignore
+    except ImportError:
+        return None
+    proj = umap.UMAP(n_components=2).fit_transform(np.asarray(embeddings, np.float64))
+    os.makedirs(save_path, exist_ok=True)
+    fig, ax = plt.subplots(figsize=(7, 6))
+    sc = ax.scatter(proj[:, 0], proj[:, 1], c=labels, cmap="tab10", s=8)
+    fig.colorbar(sc, ax=ax)
+    ax.set_title(f"{name}: UMAP 2D")
+    out = os.path.join(save_path, f"{name}.png")
+    fig.savefig(out, bbox_inches="tight", facecolor="white")
+    plt.close(fig)
+    return out
+
+
 def plot_subgraph(
     senders: np.ndarray,
     receivers: np.ndarray,

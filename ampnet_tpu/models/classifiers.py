@@ -80,6 +80,10 @@ class GCN(nn.Module):
     val_emb_dim: int = 1
     dropout_rate: float = 0.1
     dropout_adj_rate: float = 0.1
+    # 'tokens': table-embedding frontend (what the reference runs,
+    # gcn_classifier.py:69); 'raw': z-scored raw features (the reference's
+    # normalize_features variant, :83-89 — the classic Kipf-Welling setup)
+    frontend: str = "tokens"
 
     @nn.compact
     def __call__(self, graph: Graph, deterministic: bool = True, return_aux: bool = True, **kwargs) -> ModelOutput:
@@ -88,18 +92,21 @@ class GCN(nn.Module):
         if not deterministic and self.dropout_adj_rate > 0.0:
             edge_mask = dropout_edges(self.make_rng("edges"), edge_mask, self.dropout_adj_rate)
 
-        table = self.param(
-            "feature_embedding_table",
-            nn.initializers.normal(stddev=1.0),
-            (self.num_node_features, self.feat_emb_dim),
-        )
         x_norm = standardize(graph.x, node_mask=graph.node_mask)
-        # every feature becomes a token: concat(table, value) then flatten
-        # (gcn_classifier.py:91-109)
-        n = x_norm.shape[0]
-        emb = jnp.broadcast_to(table[None], (n, self.num_node_features, self.feat_emb_dim))
-        tokens = jnp.concatenate([emb, x_norm[..., None]], axis=-1)  # [N, F, D]
-        x = tokens.reshape(n, self.num_node_features * emb_dim)
+        if self.frontend == "raw":
+            x = x_norm
+        else:
+            table = self.param(
+                "feature_embedding_table",
+                nn.initializers.normal(stddev=1.0),
+                (self.num_node_features, self.feat_emb_dim),
+            )
+            # every feature becomes a token: concat(table, value) then
+            # flatten (gcn_classifier.py:91-109)
+            n = x_norm.shape[0]
+            emb = jnp.broadcast_to(table[None], (n, self.num_node_features, self.feat_emb_dim))
+            tokens = jnp.concatenate([emb, x_norm[..., None]], axis=-1)  # [N, F, D]
+            x = tokens.reshape(n, self.num_node_features * emb_dim)
 
         x = GCNConv(self.hidden_dim, name="conv1")(x, graph.senders, graph.receivers, edge_mask)
         x = nn.relu(x)

@@ -48,7 +48,8 @@ def default_edge_budget(num_edges_padded: int, num_tiles: int, slack: float = 2.
 
 
 def make_fused_fns(model: AMPGCN, graph: Graph, layout: EdgeLayout,
-                   tile_nodes: int = 64, gather: str = "vmem"):
+                   tile_nodes: int = 64, gather: str = "vmem",
+                   fused_bwd: bool = True, interpret: bool = False):
     cfg = model.config
 
     def fused(x, params):
@@ -57,13 +58,15 @@ def make_fused_fns(model: AMPGCN, graph: Graph, layout: EdgeLayout,
             layout.tile_senders, layout.tile_recv, layout.tile_valid,
             num_heads=cfg.num_heads, softmax=cfg.attn_softmax,
             tile_nodes=tile_nodes, gather=gather,
+            fused_bwd=fused_bwd, interpret=interpret,
         )
 
     return (fused, fused)
 
 
 def make_pallas_train_step(model: AMPGCN, loss_mode: str = "saint",
-                           tile_nodes: int = 64, gather: str = "vmem"):
+                           tile_nodes: int = 64, gather: str = "vmem",
+                           fused_bwd: bool = True, interpret: bool = False):
     """Jitted step(state, graph, layout) with fused convs."""
 
     @jax.jit
@@ -71,7 +74,8 @@ def make_pallas_train_step(model: AMPGCN, loss_mode: str = "saint",
         new_rng, rngs = split_rngs(state.rng)
 
         def loss_fn(params):
-            fns = make_fused_fns(model, graph, layout, tile_nodes, gather)
+            fns = make_fused_fns(model, graph, layout, tile_nodes, gather,
+                                 fused_bwd=fused_bwd, interpret=interpret)
             out = model.apply(
                 {"params": params}, graph, deterministic=False,
                 return_aux=False, rngs=rngs, fused_fns=fns,

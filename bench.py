@@ -110,15 +110,23 @@ def time_fn(fn, x, *args, iters=20, warmup=2):
 
 
 def main():
+    import sys
+
     import jax
 
     e = 10556
     h = 4
+    iters = 10
     x, senders, receivers, params = build_inputs(e=e)
 
-    t_opt = time_fn(lambda *a: optimized(*a, h), x, senders, receivers, params)
-    t_naive = time_fn(lambda *a: naive_reference_order(*a, h), x, senders, receivers, params)
+    print("bench: timing naive reference-order path...", file=sys.stderr)
+    t_naive = time_fn(
+        lambda *a: naive_reference_order(*a, h), x, senders, receivers, params,
+        iters=iters,
+    )
+    print(f"bench: naive {t_naive*1e3:.2f} ms", file=sys.stderr)
 
+    t_opt = None
     try:
         from ampnet_tpu.ops.edge_attention import MHAParams
         from ampnet_tpu.ops.pallas.edge_attention_fused import (
@@ -133,13 +141,19 @@ def main():
                 np.ones(e, bool), n, h,
             )
             p = MHAParams(params["w_qkv"], params["b_qkv"], params["w_out"], params["b_out"])
-            t_pallas = time_fn(lambda xx: fused(xx, p), x)
-            if t_pallas < t_opt:
-                t_opt = t_pallas
+            print("bench: timing fused Pallas path...", file=sys.stderr)
+            t_opt = time_fn(lambda xx: fused(xx, p), x, iters=iters)
+            print(f"bench: pallas {t_opt*1e3:.2f} ms", file=sys.stderr)
     except Exception as err:
-        import sys
-
         print(f"pallas path unavailable: {type(err).__name__}: {err}", file=sys.stderr)
+
+    if t_opt is None or t_opt > t_naive:
+        # fall back to the XLA-optimized path (node-level projections)
+        print("bench: timing XLA-optimized path...", file=sys.stderr)
+        t_xla_opt = time_fn(
+            lambda *a: optimized(*a, h), x, senders, receivers, params, iters=iters
+        )
+        t_opt = min(t_xla_opt, t_opt) if t_opt is not None else t_xla_opt
 
     edges_per_s = e / t_opt
     result = {

@@ -38,15 +38,6 @@ def tiny_graph(rng, n=16, e=40, f=24):
     )
 
 
-@pytest.fixture(autouse=True)
-def _interpret_mode(monkeypatch):
-    # run the kernel in interpreter mode on CPU
-    orig = eaf._pallas_core_dynamic
-
-    def patched(x, params, tcsr, receivers, edge_mask, num_heads, softmax, gather, interpret):
-        return orig(x, params, tcsr, receivers, edge_mask, num_heads, softmax, gather, True)
-
-    monkeypatch.setattr(eaf, "_pallas_core_dynamic", patched)
 
 
 def test_fused_model_forward_matches_xla(rng):
@@ -55,7 +46,7 @@ def test_fused_model_forward_matches_xla(rng):
     k = jax.random.PRNGKey(0)
     variables = model.init({"params": k, "sample": k, "dropout": k, "edges": k}, g)
     layout = compute_layout(g, tile_nodes=8, edges_per_tile=128)
-    fns = make_fused_fns(model, g, layout, tile_nodes=8)
+    fns = make_fused_fns(model, g, layout, tile_nodes=8, interpret=True)
     idx = jnp.zeros((g.num_nodes_padded, CFG.num_sampled_vectors), jnp.int32)
     out_fused = model.apply(variables, g, deterministic=True, sampled_idx=idx,
                             return_aux=False, fused_fns=fns)
@@ -72,7 +63,7 @@ def test_fused_gradients_match_xla(rng):
     k = jax.random.PRNGKey(0)
     variables = model.init({"params": k, "sample": k, "dropout": k, "edges": k}, g)
     layout = compute_layout(g, tile_nodes=8, edges_per_tile=128)
-    fns = make_fused_fns(model, g, layout, tile_nodes=8)
+    fns = make_fused_fns(model, g, layout, tile_nodes=8, interpret=True)
     idx = jnp.zeros((g.num_nodes_padded, CFG.num_sampled_vectors), jnp.int32)
 
     def loss(params, fused):
