@@ -69,7 +69,9 @@ def make_pallas_train_step(model: AMPGCN, loss_mode: str = "saint",
                            fused_bwd: bool = True, interpret: bool = False):
     """Jitted step(state, graph, layout) with fused convs."""
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, graph: Graph, layout: EdgeLayout):
         new_rng, rngs = split_rngs(state.rng)
 

@@ -5,6 +5,7 @@ guarantees a single compilation across all GraphSAINT subgraphs.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -67,7 +68,7 @@ def make_train_step(
             )
         return masked_mean_nll(out_logits, graph.y, graph.train_mask & graph.node_mask)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, graph: Graph):
         new_rng, rngs = split_rngs(state.rng)
 
