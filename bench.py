@@ -119,13 +119,9 @@ def main():
     iters = 10
     x, senders, receivers, params = build_inputs(e=e)
 
-    print("bench: timing naive reference-order path...", file=sys.stderr)
-    t_naive = time_fn(
-        lambda *a: naive_reference_order(*a, h), x, senders, receivers, params,
-        iters=iters,
-    )
-    print(f"bench: naive {t_naive*1e3:.2f} ms", file=sys.stderr)
-
+    # order: time the production (pallas) path FIRST so a partial run
+    # still yields the headline number; the baseline follows
+    t_naive = None
     t_opt = None
     try:
         from ampnet_tpu.ops.edge_attention import MHAParams
@@ -147,20 +143,30 @@ def main():
     except Exception as err:
         print(f"pallas path unavailable: {type(err).__name__}: {err}", file=sys.stderr)
 
-    if t_opt is None or t_opt > t_naive:
+    if t_opt is None:
         # fall back to the XLA-optimized path (node-level projections)
         print("bench: timing XLA-optimized path...", file=sys.stderr)
-        t_xla_opt = time_fn(
+        t_opt = time_fn(
             lambda *a: optimized(*a, h), x, senders, receivers, params, iters=iters
         )
-        t_opt = min(t_xla_opt, t_opt) if t_opt is not None else t_xla_opt
+        print(f"bench: xla-optimized {t_opt*1e3:.2f} ms", file=sys.stderr)
+
+    try:
+        print("bench: timing naive reference-order baseline...", file=sys.stderr)
+        t_naive = time_fn(
+            lambda *a: naive_reference_order(*a, h), x, senders, receivers, params,
+            iters=iters,
+        )
+        print(f"bench: naive {t_naive*1e3:.2f} ms", file=sys.stderr)
+    except Exception as err:
+        print(f"baseline timing failed: {type(err).__name__}: {err}", file=sys.stderr)
 
     edges_per_s = e / t_opt
     result = {
         "metric": "edges/s/chip (fused AMPNet edge attention, Cora D=128 H=4 S=20)",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
-        "vs_baseline": round(t_naive / t_opt, 3),
+        "vs_baseline": round(t_naive / t_opt, 3) if t_naive else 1.0,
     }
     print(json.dumps(result))
 
