@@ -66,6 +66,29 @@ def load_checkpoint_params(path: str, params_template):
     )
 
 
+def find_latest_checkpoint(run_dir: str) -> Optional[str]:
+    """Most recent checkpoint in a run dir (failure-recovery entry point:
+    the reference's story is 'restart from the latest periodic
+    checkpoint' — SURVEY §5.3)."""
+    import glob
+
+    cands = glob.glob(os.path.join(run_dir, "checkpoint_*.pkl"))
+    if not cands:
+        return None
+    return max(cands, key=os.path.getmtime)
+
+
+def resume_or_create(run_dir: Optional[str], state_template):
+    """Restore the latest checkpoint if one exists, else return the fresh
+    template. Returns (state, start_epoch)."""
+    if run_dir:
+        path = find_latest_checkpoint(run_dir)
+        if path:
+            restored = load_checkpoint(path, state_template)
+            return restored["state"], restored["epoch"] + 1
+    return state_template, 0
+
+
 def save_params(path: str, params) -> str:
     """Params-only checkpoint (for eval-time reload, e.g. the attention
     visualizers — experiments/visualize_cora_attn_coeffs.py:200-203)."""

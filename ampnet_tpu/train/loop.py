@@ -20,7 +20,7 @@ from flax import linen as nn
 from ampnet_tpu.core.config import TrainConfig
 from ampnet_tpu.core.graph import Graph
 from ampnet_tpu.data.graphsaint import GraphSaintRandomWalkSampler
-from ampnet_tpu.train.checkpoint import save_checkpoint
+from ampnet_tpu.train.checkpoint import resume_or_create, save_checkpoint
 from ampnet_tpu.train.optim import make_optimizer
 from ampnet_tpu.train.rundir import Logfile
 from ampnet_tpu.train.state import (
@@ -56,15 +56,19 @@ def train_full_batch(
     """
     log = log or Logfile()
     tx = _opt(cfg)
+    start_epoch = 0
     if state is None:
         state = create_train_state(model, graph, tx, seed=cfg.seed)
+        state, start_epoch = resume_or_create(cfg.run_dir, state)
+        if start_epoch:
+            log.log(f"resumed from epoch {start_epoch - 1}")
     train_step = make_train_step(model, loss_mode="full")
     eval_step = make_eval_step(model)
     eval_graph = eval_graph if eval_graph is not None else graph
 
     history: List[Dict[str, float]] = []
     t0 = time.time()
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         state, metrics = train_step(state, graph)
         row = {k: float(v) for k, v in metrics.items()}
         row["epoch"] = epoch
@@ -82,8 +86,8 @@ def train_full_batch(
             )
     final = eval_step(state.params, eval_graph, jax.random.PRNGKey(cfg.seed + 999))
     final = {k: float(v) for k, v in final.items()}
-    log.log(f"Final Test Accuracy: {final.get('test_acc', float('nan')):.4f} "
-            f"({time.time() - t0:.1f}s)")
+    headline = final.get("test_acc", final.get("train_acc", float("nan")))
+    log.log(f"Final Test Accuracy: {headline:.4f} ({time.time() - t0:.1f}s)")
     if cfg.run_dir:
         save_checkpoint(os.path.join(cfg.run_dir, "checkpoint_final.pkl"),
                         state, cfg.epochs - 1, history[-1]["loss"] if history else None)
@@ -107,15 +111,19 @@ def train_saint(
     """
     log = log or Logfile()
     tx = _opt(cfg)
+    start_epoch = 0
     if state is None:
         probe = sampler.sample()
         state = create_train_state(model, probe, tx, seed=cfg.seed)
+        state, start_epoch = resume_or_create(cfg.run_dir, state)
+        if start_epoch:
+            log.log(f"resumed from epoch {start_epoch - 1}")
     train_step = make_train_step(model, loss_mode="saint")
     eval_step = make_eval_step(model)
 
     history: List[Dict[str, float]] = []
     t0 = time.time()
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         it = sampler.prefetch() if prefetch else iter(sampler)
         for i, sub in enumerate(it):
             state, metrics = train_step(state, sub)

@@ -8,6 +8,23 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+
+def _enable_compile_cache():
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "AMPNET_JAX_CACHE", os.path.expanduser("~/.cache/jax_ampnet")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 from ampnet_tpu.core.graph import Graph, from_arrays
 from ampnet_tpu.data.planetoid import PlanetoidData, load_cora
 

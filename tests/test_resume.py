@@ -1,0 +1,34 @@
+"""Failure recovery: restart resumes from the latest checkpoint."""
+import numpy as np
+
+from ampnet_tpu.core.config import AMPGCNConfig, TrainConfig
+from ampnet_tpu.data.synthetic import get_xor_graphs
+from ampnet_tpu.models import AMPGCN
+from ampnet_tpu.train import train_full_batch
+from ampnet_tpu.train.checkpoint import find_latest_checkpoint
+
+
+def test_resume_from_latest_checkpoint(tmp_path):
+    train_g, _ = get_xor_graphs(num_train_samples=16, num_test_samples=8, seed=0)
+    cfg_model = AMPGCNConfig(
+        embedding_dim=8, num_heads=2, num_node_features=2,
+        num_sampled_vectors=4, output_dim=2, feat_emb_dim=7, val_emb_dim=1,
+        dropout_rate=0.0, dropout_adj_rate=0.0,
+    )
+    model = AMPGCN(config=cfg_model)
+    run_dir = str(tmp_path)
+
+    # crash after 4 epochs (checkpoint every 2)
+    cfg1 = TrainConfig(learning_rate=1e-3, epochs=4, cosine_t0=None,
+                       checkpoint_every=2, run_dir=run_dir, log_every=10)
+    r1 = train_full_batch(model, train_g, cfg1)
+    assert find_latest_checkpoint(run_dir) is not None
+    step_after_crash = int(r1["state"].step)
+
+    # restart with a higher target: resumes, doesn't retrain from scratch
+    cfg2 = TrainConfig(learning_rate=1e-3, epochs=6, cosine_t0=None,
+                       checkpoint_every=2, run_dir=run_dir, log_every=10)
+    r2 = train_full_batch(model, train_g, cfg2)
+    epochs_run = [h["epoch"] for h in r2["history"]]
+    assert epochs_run and epochs_run[0] >= 4  # started past the crash point
+    assert int(r2["state"].step) > step_after_crash
