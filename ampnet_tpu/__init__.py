@@ -25,6 +25,7 @@ from ampnet_tpu.models.classifiers import (
     LinearLayer,
     TwoLayerSigmoid,
 )
+from ampnet_tpu.serving import Predictor
 
 __version__ = "0.1.0"
 
@@ -46,4 +47,5 @@ __all__ = [
     "TrainConfig",
     "SaintConfig",
     "TokenizerConfig",
+    "Predictor",
 ]
