@@ -37,9 +37,9 @@ def make_graph(n=768, e=4096, f=1433, seed=0):
     )
 
 
-def timed(step_fn, state, graphs, extra=None, iters=10):
-    # warmup
-    s = state
+def timed(step_fn, make_state, graphs, extra=None, iters=10):
+    # steps donate their input state — build a fresh one per timing run
+    s = make_state()
     s, _ = step_fn(s, graphs[0], *(extra[0:1] if extra else []))
     jax.block_until_ready(s.params)
     t0 = time.perf_counter()
@@ -57,17 +57,19 @@ def main():
     # several different graphs so the relay can't dedupe
     graphs = [make_graph(seed=i) for i in range(4)]
     tx = make_optimizer(1e-3)
-    state = create_train_state(model, graphs[0], tx, seed=0)
+
+    def make_state():
+        return create_train_state(model, graphs[0], tx, seed=0)
 
     xla_step = make_train_step(model, loss_mode="saint")
-    t_xla = timed(xla_step, state, graphs)
-    print(f"XLA train step: {t_xla*1e3:.2f} ms")
+    t_xla = timed(xla_step, make_state, graphs)
+    print(f"XLA train step: {t_xla*1e3:.2f} ms", flush=True)
 
     budget = default_edge_budget(graphs[0].num_edges_padded, graphs[0].num_nodes_padded // 64, slack=4.0)
     layouts = [compute_layout(g, tile_nodes=64, edges_per_tile=budget) for g in graphs]
     fused_step = make_pallas_train_step(model, loss_mode="saint")
-    t_fused = timed(fused_step, state, graphs, extra=layouts)
-    print(f"fused-fwd train step: {t_fused*1e3:.2f} ms  speedup {t_xla/t_fused:.2f}x")
+    t_fused = timed(fused_step, make_state, graphs, extra=layouts)
+    print(f"fused train step: {t_fused*1e3:.2f} ms  speedup {t_xla/t_fused:.2f}x", flush=True)
 
 
 if __name__ == "__main__":
