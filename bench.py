@@ -79,34 +79,38 @@ def optimized(x, senders, receivers, p, num_heads):
     return out
 
 
-def time_fn(fn, x, *args, iters=20, warmup=2):
-    """Serialized per-chip latency timing.
+def time_fn(fn, x, *args, k1=2, k2=12, iters=None, warmup=None):
+    """Device-loop timing: run K chained iterations inside ONE jitted
+    lax.fori_loop dispatch and difference two K values.
 
-    Two hazards on tunneled/remote TPU runtimes make naive loops lie:
-    (1) repeated identical or numerically-converged calls can be deduped,
-    (2) independent dispatches can fan out over multiple cores, inflating
-    apparent per-chip throughput. So each iteration (a) depends on the
-    previous output (serial chain — no fan-out) and (b) applies an
-    iteration-indexed O(10%) multiplicative perturbation (never converges
-    — no dedupe). Reported time is per-iteration sequential latency.
+    Host wall-clock around individual dispatches is unreliable on
+    tunneled/remote TPU runtimes (dedupe of repeated calls, multi-core
+    fan-out, relay acks) — measured per-call times were non-linear in the
+    iteration count. A single dispatch whose body chains each iteration's
+    input through the previous output forces the device to execute every
+    step; (T(k2) - T(k1)) / (k2 - k1) is pure per-iteration device time.
+    (iters/warmup accepted for API compat; unused.)
     """
+    import functools
+
     import jax
-    import jax.numpy as jnp
 
-    def step(x, i, *a):
-        out = fn(x, *a)
-        nxt = x * (0.95 + 0.1 * jnp.sin(i)) + out.astype(x.dtype) * 1e-3
-        return nxt, out
+    def body(i, x):
+        out = fn(x, *args)
+        return x * 0.99 + out.astype(x.dtype) * 0.01
 
-    jitted = jax.jit(step)
-    for w in range(warmup):
-        x, out = jitted(x, float(w), *args)
-    jax.block_until_ready(x)
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run(x, k):
+        return jax.lax.fori_loop(0, k, body, x)
+
+    for k in (k1, k2):
+        jax.block_until_ready(run(x, k))  # compile both variants
     t0 = time.perf_counter()
-    for i in range(iters):
-        x, out = jitted(x, float(warmup + i), *args)
-    jax.block_until_ready(x)
-    return (time.perf_counter() - t0) / iters
+    jax.block_until_ready(run(x, k1))
+    t1 = time.perf_counter()
+    jax.block_until_ready(run(x, k2))
+    t2 = time.perf_counter()
+    return max(((t2 - t1) - (t1 - t0)) / (k2 - k1), 1e-9)
 
 
 def main():
