@@ -140,6 +140,9 @@ class TrainConfig:
     checkpoint_every: int = 10   # epochs
     log_every: int = 1
     run_dir: Optional[str] = None
+    # final-eval ensemble size over token-sampling draws (1 = reference
+    # behavior: a single stochastic draw at eval, amp_gcn.py:135)
+    num_eval_samples: int = 1
 
 
 def replace(cfg, **kw):

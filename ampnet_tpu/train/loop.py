@@ -63,7 +63,7 @@ def train_full_batch(
         if start_epoch:
             log.log(f"resumed from epoch {start_epoch - 1}")
     train_step = make_train_step(model, loss_mode="full")
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(model, num_eval_samples=cfg.num_eval_samples)
     eval_graph = eval_graph if eval_graph is not None else graph
 
     history: List[Dict[str, float]] = []
@@ -119,7 +119,7 @@ def train_saint(
         if start_epoch:
             log.log(f"resumed from epoch {start_epoch - 1}")
     train_step = make_train_step(model, loss_mode="saint")
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(model, num_eval_samples=cfg.num_eval_samples)
 
     history: List[Dict[str, float]] = []
     t0 = time.time()

@@ -97,19 +97,33 @@ def make_train_step(
     return step
 
 
-def make_eval_step(model: nn.Module) -> Callable[[Any, Graph, jax.Array], Dict[str, jnp.ndarray]]:
+def make_eval_step(
+    model: nn.Module,
+    num_eval_samples: int = 1,
+) -> Callable[[Any, Graph, jax.Array], Dict[str, jnp.ndarray]]:
     """Deterministic forward (dropouts off; token sampling still keyed —
-    the reference samples at eval too, amp_gcn.py:135)."""
+    the reference samples at eval too, amp_gcn.py:135).
+
+    num_eval_samples > 1 averages log-probs over independent token-sample
+    draws — an ensemble eval that removes the reference's single-draw
+    eval variance (a framework improvement, not a parity change)."""
 
     @jax.jit
     def step(params, graph: Graph, rng: jax.Array):
-        out = model.apply(
-            {"params": params},
-            graph,
-            deterministic=True,
-            return_aux=False,
-            rngs={"sample": rng},
-        )
+        def one(key):
+            return model.apply(
+                {"params": params},
+                graph,
+                deterministic=True,
+                return_aux=False,
+                rngs={"sample": key},
+            ).logits
+
+        if num_eval_samples > 1:
+            keys = jax.random.split(rng, num_eval_samples)
+            logits = jnp.mean(jax.lax.map(one, keys), axis=0)
+        else:
+            logits = one(rng)
         metrics = {}
         for name, mask in [
             ("train", graph.train_mask),
@@ -118,9 +132,9 @@ def make_eval_step(model: nn.Module) -> Callable[[Any, Graph, jax.Array], Dict[s
         ]:
             if mask is not None:
                 metrics[f"{name}_acc"] = masked_accuracy(
-                    out.logits, graph.y, mask & graph.node_mask
+                    logits, graph.y, mask & graph.node_mask
                 )
-                metrics[f"{name}_loss"] = masked_mean_nll(out.logits, graph.y, mask & graph.node_mask)
+                metrics[f"{name}_loss"] = masked_mean_nll(logits, graph.y, mask & graph.node_mask)
         return metrics
 
     return step
