@@ -398,10 +398,16 @@ def amp_edge_attention_pallas(
         )
 
     def fwd(x, params):
-        return fused(x, params), (x, params)
+        # stash the aggregation sums + counts so the fused backward skips
+        # the forward-kernel recompute
+        out, sums, count = _pallas_core_dynamic(
+            x, params, tcsr_like, receivers, edge_mask, num_heads, softmax,
+            gather, interpret, return_parts=True,
+        )
+        return out, (x, params, sums, count)
 
     def bwd_xla(res, g):
-        x_, params_ = res
+        x_, params_ = res[0], res[1]
 
         def ref_fn(x_, params_):
             out, _ = amp_edge_attention(
@@ -414,10 +420,10 @@ def amp_edge_attention_pallas(
         return vjp(g)
 
     def bwd_fused(res, g):
-        x_, params_ = res
+        x_, params_, sums_, count_ = res
         return _pallas_bwd_dynamic(
             x_, params_, g, tcsr_like, receivers, edge_mask, num_heads,
-            softmax, interpret,
+            softmax, interpret, sums=sums_, count=count_,
         )
 
     fused.defvjp(fwd, bwd_fused if fused_bwd else bwd_xla)
@@ -425,7 +431,8 @@ def amp_edge_attention_pallas(
 
 
 def _pallas_bwd_dynamic(
-    x, params, gout, tcsr, receivers, edge_mask, num_heads, softmax, interpret
+    x, params, gout, tcsr, receivers, edge_mask, num_heads, softmax,
+    interpret, sums=None, count=None,
 ):
     """Full backward: out-proj/mean grads (XLA) -> pass A kernel
     (recompute + dQ/dK/dV) -> sender segment-sum + projection grads (XLA).
@@ -447,20 +454,22 @@ def _pallas_bwd_dynamic(
         q_rows = jnp.pad(q_rows, ((0, pad), (0, 0)))
         kv_rows = jnp.pad(kv_rows, ((0, pad), (0, 0)))
 
-    count = segment_count(receivers, n, edge_mask)
+    if count is None:
+        count = segment_count(receivers, n, edge_mask)
     m0 = (count > 0)[:, None, None]
     gm = jnp.where(m0, gout, 0.0)
-
-    # recompute mean via forward kernel (residual-free; one extra fwd pass)
     group = 8 if tcsr.edges_per_tile % 8 == 0 else 1
-    sums = _fused_edge_sums(
-        q_rows, kv_rows, tcsr.senders, tcsr.recv_local, tcsr.valid,
-        num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
-        group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
-        gather="vmem", interpret=interpret,
-    )
-    mean = (sums[: n * sp].reshape(n, sp, d)[:, :s, :]
-            / jnp.maximum(count, 1.0)[:, None, None])
+
+    if sums is None:
+        # no residuals available: recompute via one extra forward pass
+        sums_rows = _fused_edge_sums(
+            q_rows, kv_rows, tcsr.senders, tcsr.recv_local, tcsr.valid,
+            num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
+            group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
+            gather="vmem", interpret=interpret,
+        )
+        sums = sums_rows[: n * sp].reshape(n, sp, d)[:, :s, :]
+    mean = sums / jnp.maximum(count, 1.0)[:, None, None]
 
     # out-projection grads
     d_wout = jnp.einsum("nsd,nse->de", mean, gm, preferred_element_type=jnp.float32)
@@ -505,10 +514,12 @@ def _pallas_bwd_dynamic(
 
 
 def _pallas_core_dynamic(
-    x, params, tcsr, receivers, edge_mask, num_heads, softmax, gather, interpret
+    x, params, tcsr, receivers, edge_mask, num_heads, softmax, gather,
+    interpret, return_parts=False,
 ):
     """Like amp_edge_attention_pallas_core but tcsr leaves are traced
-    arrays already shaped [T, 1, EMAX]."""
+    arrays already shaped [T, 1, EMAX]. return_parts=True also returns
+    (sums, count) for custom-VJP residuals."""
     n, s, d = x.shape
     qkv = x @ params.w_qkv + params.b_qkv
     align = 16 if x.dtype == jnp.bfloat16 else 8
@@ -533,7 +544,10 @@ def _pallas_core_dynamic(
     count = segment_count(receivers, n, edge_mask)
     mean = sums / jnp.maximum(count, 1.0)[:, None, None]
     out = mean.astype(x.dtype) @ params.w_out + params.b_out
-    return jnp.where((count > 0)[:, None, None], out, 0.0)
+    out = jnp.where((count > 0)[:, None, None], out, 0.0)
+    if return_parts:
+        return out, sums, count
+    return out
 
 
 def make_pallas_edge_attention(
