@@ -81,6 +81,11 @@ class AMPGCNConfig:
     # compute dtype for the conv hot path ('float32' | 'bfloat16');
     # params and the classifier head stay float32
     compute_dtype: str = "float32"
+    # pre-LN transformer-block architecture: LayerNorm -> AMPConv ->
+    # residual, then LayerNorm -> MLP -> residual, per block — the
+    # reference's declared next architecture, kept as commented code
+    # (amp_gcn.py:409-451); False = the plain conv stack it actually runs
+    transformer_block: bool = False
 
     def __post_init__(self):
         if self.embedding_dim != self.feat_emb_dim + self.val_emb_dim:

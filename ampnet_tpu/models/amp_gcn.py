@@ -78,44 +78,67 @@ class AMPGCN(nn.Module):
             rate=cfg.dropout_rate, deterministic=deterministic
         )(x)
 
-        x = drop("d1", tokens)
         compute_dtype = (
             jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         )
-        conv1 = AMPConv(
-            embed_dim=d,
-            num_heads=cfg.num_heads,
-            softmax=cfg.attn_softmax,
-            use_pallas=cfg.use_pallas,
-            dtype=compute_dtype,
-            name="conv1",
-        )
-        x, attn1 = conv1(
-            x, graph.senders, graph.receivers, edge_mask,
-            deterministic=deterministic, return_weights=return_aux,
-            fused_fn=None if fused_fns is None else fused_fns[0],
-        )
-        conv1_embedding = x
-        x = nn.relu(x)
+        convs = [
+            AMPConv(
+                embed_dim=d,
+                num_heads=cfg.num_heads,
+                softmax=cfg.attn_softmax,
+                use_pallas=cfg.use_pallas,
+                dtype=compute_dtype,
+                name=f"conv{i+1}",
+            )
+            for i in range(2)
+        ]
 
-        x = drop("d2", x)
-        conv2 = AMPConv(
-            embed_dim=d,
-            num_heads=cfg.num_heads,
-            softmax=cfg.attn_softmax,
-            use_pallas=cfg.use_pallas,
-            dtype=compute_dtype,
-            name="conv2",
-        )
-        x, attn2 = conv2(
-            x, graph.senders, graph.receivers, edge_mask,
-            deterministic=deterministic, return_weights=return_aux,
-            fused_fn=None if fused_fns is None else fused_fns[1],
-        )
-        conv2_embedding = x
-        x = nn.relu(x)
+        if cfg.transformer_block:
+            # pre-LN transformer blocks (reference's declared next
+            # architecture, amp_gcn.py:409-451): per block,
+            #   x_ = LN(x); x_ = conv(x_); x = drop(x) + x_
+            #   x_ = LN(x); x_ = ELU(MLP(x_)); x = x + x_
+            x = tokens
+            attns, embs = [], []
+            for i, conv in enumerate(convs):
+                h = nn.LayerNorm(use_scale=False, use_bias=False,
+                                 name=f"layer_norm{2*i+1}")(x)
+                h, attn = conv(
+                    h, graph.senders, graph.receivers, edge_mask,
+                    deterministic=deterministic, return_weights=return_aux,
+                    fused_fn=None if fused_fns is None else fused_fns[i],
+                )
+                attns.append(attn)
+                embs.append(h)
+                x = drop(f"b{i}", x) + h
+                h = nn.LayerNorm(use_scale=False, use_bias=False,
+                                 name=f"layer_norm{2*i+2}")(x)
+                h = nn.Dense(d, name=f"post_conv_linear{i+1}")(h)
+                x = x + nn.elu(h)
+            attn1, attn2 = attns
+            conv1_embedding, conv2_embedding = embs
+        else:
+            # plain conv stack — what the reference actually runs
+            # (amp_gcn.py:247-262)
+            x = drop("d1", tokens)
+            x, attn1 = convs[0](
+                x, graph.senders, graph.receivers, edge_mask,
+                deterministic=deterministic, return_weights=return_aux,
+                fused_fn=None if fused_fns is None else fused_fns[0],
+            )
+            conv1_embedding = x
+            x = nn.relu(x)
 
-        x = drop("d3", x)
+            x = drop("d2", x)
+            x, attn2 = convs[1](
+                x, graph.senders, graph.receivers, edge_mask,
+                deterministic=deterministic, return_weights=return_aux,
+                fused_fn=None if fused_fns is None else fused_fns[1],
+            )
+            conv2_embedding = x
+            x = nn.relu(x)
+
+            x = drop("d3", x)
         if cfg.average_pooling:
             pooled = jnp.mean(x, axis=1)       # mean over tokens (amp_gcn.py:268)
         else:

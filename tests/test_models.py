@@ -153,3 +153,31 @@ def test_model_registry():
     assert isinstance(get_model("LinearLayer"), LinearLayer)
     with pytest.raises(KeyError):
         get_model("nope")
+
+
+def test_ampgcn_transformer_block_variant(rng):
+    """Pre-LN transformer-block architecture (the reference's declared
+    next architecture, amp_gcn.py:409-451)."""
+    import dataclasses
+
+    g = tiny_graph(rng)
+    cfg = dataclasses.replace(CFG, transformer_block=True)
+    model = AMPGCN(config=cfg)
+    variables = model.init(init_rngs(), g, deterministic=True)
+    params = variables["params"]
+    assert "layer_norm1" not in params  # no-affine LayerNorms carry no params
+    assert "post_conv_linear1" in params and "post_conv_linear2" in params
+    out = model.apply(variables, g, deterministic=True,
+                      rngs={"sample": jax.random.PRNGKey(0)})
+    assert out.logits.shape == (g.num_nodes_padded, 3)
+    np.testing.assert_allclose(np.exp(out.logits).sum(-1), 1.0, rtol=1e-4)
+    # gradients flow through both blocks
+    def loss(p):
+        o = model.apply({"params": p}, g, deterministic=True,
+                        sampled_idx=jnp.zeros((g.num_nodes_padded, 6), jnp.int32),
+                        return_aux=False)
+        return jnp.sum(o.logits ** 2)
+    grads = jax.grad(loss)(params)
+    for name in ("conv1", "conv2", "post_conv_linear1", "post_conv_linear2"):
+        leaf_sum = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(grads[name]))
+        assert leaf_sum > 0, name
