@@ -550,6 +550,92 @@ def _pallas_core_dynamic(
     return out
 
 
+def fused_attention_aggregate(
+    q_tokens: jnp.ndarray,        # [N_loc, S, D] PROJECTED queries (local nodes)
+    kv_tokens: jnp.ndarray,       # [N_all, S, 2D] PROJECTED packed K|V (global nodes)
+    tile_senders: jnp.ndarray,    # [T, EMAX] GLOBAL sender ids (local receiver tiles)
+    tile_recv: jnp.ndarray,       # [T, EMAX] LOCAL receiver rows
+    tile_valid: jnp.ndarray,      # [T, EMAX]
+    num_heads: int,
+    softmax: bool = True,
+    tile_nodes: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused per-edge attention + per-receiver SUM on projected tensors.
+
+    The building block for the edge-partitioned multi-chip path
+    (parallel/edge_partition.py): Q comes from the shard's local nodes,
+    K|V from the all-gathered global projection, the tiled-CSR layout
+    covers the shard's local receivers with global sender ids. Keeping the
+    all-gather OUTSIDE this op means reverse-mode AD through shard_map
+    turns it into the reduce-scatter of boundary-token gradients.
+
+    Returns the SUM of messages per local receiver [N_loc, S, D]
+    (mean-normalization, out-projection, and zero-degree masking are the
+    caller's, as are the in-projections). Custom VJP: fused backward
+    kernel + segment-sum of the dK|dV stream by global sender.
+    """
+    num_tiles, emax = tile_senders.shape
+    n_loc, s, d = q_tokens.shape
+    n_all = kv_tokens.shape[0]
+    align = 16 if q_tokens.dtype == jnp.bfloat16 else 8
+    sp = -(-s // align) * align
+    nt = num_tiles * tile_nodes
+    group = 8 if emax % 8 == 0 else 1
+    ts3 = tile_senders[:, None, :]
+    tr3 = tile_recv[:, None, :]
+    tv3 = tile_valid[:, None, :]
+
+    def to_rows(t, n_rows):
+        if sp != t.shape[1]:
+            t = jnp.pad(t, ((0, 0), (0, sp - t.shape[1]), (0, 0)))
+        rows = t.reshape(t.shape[0] * sp, t.shape[2])
+        if n_rows > t.shape[0]:
+            rows = jnp.pad(rows, ((0, (n_rows - t.shape[0]) * sp), (0, 0)))
+        return rows
+
+    @jax.custom_vjp
+    def op(q_tokens, kv_tokens):
+        q_rows = to_rows(q_tokens, nt)
+        kv_rows = to_rows(kv_tokens, n_all)
+        sums = _fused_edge_sums(
+            q_rows, kv_rows, ts3, tr3, tv3,
+            num_heads=num_heads, softmax=softmax, tile_nodes=tile_nodes,
+            group=group, num_tiles=num_tiles, emax=emax, s=s,
+            gather="vmem", interpret=interpret,
+        )
+        return sums[: n_loc * sp].reshape(n_loc, sp, d)[:, :s, :]
+
+    def fwd(q_tokens, kv_tokens):
+        # layouts threaded through residuals — closing over traced arrays
+        # in bwd leaks tracers across the transform boundary
+        return op(q_tokens, kv_tokens), (q_tokens, kv_tokens, ts3, tr3, tv3)
+
+    def bwd(res, g):
+        from ampnet_tpu.ops.pallas.edge_attention_bwd import fused_edge_bwd
+        from ampnet_tpu.ops.segment import segment_sum
+
+        q_tokens_, kv_tokens_, ts3_, tr3_, tv3_ = res
+        q_rows = to_rows(q_tokens_, nt)
+        kv_rows = to_rows(kv_tokens_, n_all)
+        dsum_rows = to_rows(g.astype(q_rows.dtype), nt)
+        dq_rows, dkv_stream = fused_edge_bwd(
+            q_rows, kv_rows, dsum_rows, ts3_, tr3_, tv3_,
+            num_heads=num_heads, softmax=softmax, tile_nodes=tile_nodes,
+            group=group, num_tiles=num_tiles, emax=emax, s=s,
+            interpret=interpret,
+        )
+        dq = dq_rows[: n_loc * sp].reshape(n_loc, sp, d)[:, :s, :]
+        flat_senders = ts3_.reshape(-1)
+        flat_valid = tv3_.reshape(-1) != 0
+        stream = dkv_stream.reshape(num_tiles * emax, sp, 2 * d)
+        dkv = segment_sum(stream, flat_senders, n_all, flat_valid)[:, :s, :]
+        return dq.astype(q_tokens_.dtype), dkv.astype(kv_tokens_.dtype)
+
+    op.defvjp(fwd, bwd)
+    return op(q_tokens, kv_tokens)
+
+
 def make_pallas_edge_attention(
     senders: np.ndarray,
     receivers: np.ndarray,

@@ -12,9 +12,13 @@ from ampnet_tpu.parallel.data_parallel import (
 )
 from ampnet_tpu.parallel.edge_partition import (
     PartitionedGraph,
+    ShardLayout,
     partition_graph,
+    partition_layouts,
     amp_gcn_forward_local,
     make_partitioned_train_step,
+    make_dp_partitioned_train_step,
+    stack_partitioned,
 )
 
 __all__ = [
@@ -27,6 +31,10 @@ __all__ = [
     "shard_batch",
     "make_dp_train_step",
     "PartitionedGraph",
+    "ShardLayout",
+    "partition_layouts",
+    "make_dp_partitioned_train_step",
+    "stack_partitioned",
     "partition_graph",
     "amp_gcn_forward_local",
     "make_partitioned_train_step",

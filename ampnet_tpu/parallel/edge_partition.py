@@ -113,6 +113,54 @@ def partition_graph(g: Graph, n_shards: int) -> PartitionedGraph:
     )
 
 
+class ShardLayout(NamedTuple):
+    """Per-shard tiled-CSR layouts (leaves stacked on a leading shard
+    axis) for running the fused Pallas kernel inside the edge-partitioned
+    path: receivers are LOCAL rows, senders are GLOBAL node ids (indexing
+    the all-gathered K|V)."""
+
+    tile_senders: jnp.ndarray  # [P, T, EMAX]
+    tile_recv: jnp.ndarray     # [P, T, EMAX]
+    tile_valid: jnp.ndarray    # [P, T, EMAX]
+
+
+def partition_layouts(
+    pg: PartitionedGraph,
+    tile_nodes: int = 8,
+    edges_per_tile: int = 0,
+) -> ShardLayout:
+    """Host-side: build each shard's tiled CSR from its
+    (senders_global, receivers_local) edge list. A fixed edges_per_tile
+    keeps one static shape across shards."""
+    from ampnet_tpu.ops.pallas.format import build_tiled_csr
+
+    p = pg.num_shards
+    n_loc = pg.x.shape[1]
+    if not edges_per_tile:
+        # common budget = max per-shard need, SMEM-block aligned
+        need = 0
+        for i in range(p):
+            em = np.asarray(pg.edge_mask[i])
+            r = np.asarray(pg.receivers_local[i])[em]
+            if r.size:
+                counts = np.bincount(r // tile_nodes, minlength=-(-n_loc // tile_nodes))
+                need = max(need, int(counts.max()))
+        edges_per_tile = max(128, -(-max(need, 1) // 128) * 128)
+    ts, tr, tv = [], [], []
+    for i in range(p):
+        tcsr = build_tiled_csr(
+            np.asarray(pg.senders_global[i]), np.asarray(pg.receivers_local[i]),
+            np.asarray(pg.edge_mask[i]), n_loc,
+            tile_nodes=tile_nodes, edges_per_tile=edges_per_tile,
+        )
+        ts.append(tcsr.senders)
+        tr.append(tcsr.recv_local)
+        tv.append(tcsr.valid)
+    return ShardLayout(
+        jnp.asarray(np.stack(ts)), jnp.asarray(np.stack(tr)), jnp.asarray(np.stack(tv))
+    )
+
+
 def _mha_params(conv_params) -> MHAParams:
     return MHAParams(
         w_qkv=conv_params["w_qkv"],
@@ -131,8 +179,16 @@ def _sharded_amp_conv(
     num_heads: int,
     softmax: bool,
     axis: str = "graph",
+    layout=None,                   # (tile_senders, tile_recv, tile_valid) [T, EMAX]
+    tile_nodes: int = 8,
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    """One AMPConv with all-gather halo exchange over `axis`."""
+    """One AMPConv with all-gather halo exchange over `axis`.
+
+    With `layout` set, the local attention+aggregation runs in the fused
+    Pallas kernel (ops.pallas.fused_attention_aggregate); AD through the
+    all-gather still produces the reduce-scatter of boundary-token grads.
+    """
     n_loc, s, d = tokens_local.shape
     qkv = tokens_local @ params.w_qkv + params.b_qkv
     q_nodes = qkv[..., :d]
@@ -140,13 +196,24 @@ def _sharded_amp_conv(
     # halo exchange: projected K/V for every node, concatenated shard-major
     kv_all = jax.lax.all_gather(kv_local, axis, axis=0, tiled=True)  # [N_tot, S, 2D]
 
-    q = q_nodes[receivers_local]
-    kv_e = kv_all[senders_global]
-    k, v = kv_e[..., :d], kv_e[..., d:]
-    msg, _ = attention_core(q, k, v, num_heads, softmax=softmax)
-
-    total = segment_sum(msg, receivers_local, n_loc, edge_mask)
     count = segment_count(receivers_local, n_loc, edge_mask)
+    if layout is not None:
+        from ampnet_tpu.ops.pallas.edge_attention_fused import (
+            fused_attention_aggregate,
+        )
+
+        total = fused_attention_aggregate(
+            q_nodes, kv_all, layout[0], layout[1], layout[2],
+            num_heads=num_heads, softmax=softmax, tile_nodes=tile_nodes,
+            interpret=interpret,
+        )
+    else:
+        q = q_nodes[receivers_local]
+        kv_e = kv_all[senders_global]
+        k, v = kv_e[..., :d], kv_e[..., d:]
+        msg, _ = attention_core(q, k, v, num_heads, softmax=softmax)
+        total = segment_sum(msg, receivers_local, n_loc, edge_mask)
+
     mean = total / jnp.maximum(count, 1.0)[:, None, None]
     out = mean @ params.w_out + params.b_out
     return jnp.where((count > 0)[:, None, None], out, 0.0)
@@ -158,6 +225,9 @@ def amp_gcn_forward_local(
     cfg: AMPGCNConfig,
     sample_key: jax.Array,
     axis: str = "graph",
+    layout=None,               # per-shard (tile_senders, tile_recv, tile_valid)
+    tile_nodes: int = 8,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Per-shard AMPGCN forward (deterministic path: dropouts off), with
     global z-scoring via psum and two halo-exchanged convs. Mirrors
@@ -178,11 +248,13 @@ def amp_gcn_forward_local(
     h = _sharded_amp_conv(
         tokens, shard.senders_global, shard.receivers_local, shard.edge_mask,
         _mha_params(params["conv1"]), cfg.num_heads, cfg.attn_softmax, axis,
+        layout=layout, tile_nodes=tile_nodes, interpret=interpret,
     )
     h = jax.nn.relu(h)
     h = _sharded_amp_conv(
         h, shard.senders_global, shard.receivers_local, shard.edge_mask,
         _mha_params(params["conv2"]), cfg.num_heads, cfg.attn_softmax, axis,
+        layout=layout, tile_nodes=tile_nodes, interpret=interpret,
     )
     h = jax.nn.relu(h)
     pooled = jnp.mean(h, axis=1)
@@ -195,19 +267,30 @@ def make_partitioned_train_step(
     mesh: Mesh,
     learning_rate_tx,
     loss_mode: str = "full",
+    use_pallas: bool = False,
+    tile_nodes: int = 64,
+    interpret: bool = False,
 ):
-    """Jitted edge-partitioned training step over the 'graph' mesh axis."""
+    """Jitted edge-partitioned training step over the 'graph' mesh axis.
+
+    use_pallas=True runs each shard's convs in the fused kernel; pass the
+    per-shard layouts (partition_layouts) as the step's 4th argument."""
 
     pspec = PartitionedGraph(
         x=P("graph"), y=P("graph"), node_mask=P("graph"), train_mask=P("graph"),
         test_mask=P("graph"), node_norm=P("graph"), senders_global=P("graph"),
         receivers_local=P("graph"), edge_mask=P("graph"),
     )
+    lspec = ShardLayout(P("graph"), P("graph"), P("graph"))
 
-    def local_loss(params, pg: PartitionedGraph, key):
+    def local_loss(params, pg: PartitionedGraph, key, layouts=None):
         shard = PartitionedGraph(*(leaf[0] for leaf in pg))  # strip shard axis
         my_key = jax.random.fold_in(key, jax.lax.axis_index("graph"))
-        logp = amp_gcn_forward_local(params, shard, cfg, my_key)
+        layout = None if layouts is None else tuple(l[0] for l in layouts)
+        logp = amp_gcn_forward_local(
+            params, shard, cfg, my_key,
+            layout=layout, tile_nodes=tile_nodes, interpret=interpret,
+        )
         m = (shard.train_mask & shard.node_mask).astype(logp.dtype)
         nll = -jnp.take_along_axis(logp, shard.y[:, None].astype(jnp.int32), axis=1)[:, 0]
         if loss_mode == "saint":
@@ -221,6 +304,26 @@ def make_partitioned_train_step(
         )
         n = jax.lax.psum(jnp.sum(m), "graph")
         return loss, correct / jnp.maximum(n, 1.0)
+
+    if use_pallas:
+        sharded_loss = shard_map(
+            local_loss,
+            mesh=mesh,
+            in_specs=(P(), pspec, P(), lspec),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def step(params, opt_state, pg: PartitionedGraph, key, layouts):
+            (loss, acc), grads = jax.value_and_grad(
+                lambda p: sharded_loss(p, pg, key, layouts), has_aux=True
+            )(params)
+            updates, opt_state = learning_rate_tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, {"loss": loss, "train_acc": acc}
+
+        return step
 
     sharded_loss = shard_map(
         local_loss,
