@@ -50,6 +50,9 @@ class TokenizerConfig:
     frontend: str = "table"          # 'table' | 'pca'
     scaler: str = "batch"            # 'batch' | 'precomputed' | 'none'
     balanced_sampling: bool = False  # 50/50 present/absent, w/o replacement
+    # 'uniform' = reference behavior (uniform over present features);
+    # 'tfidf' = importance-weighted (framework improvement)
+    sampling: str = "uniform"
     feature_repeats: int = 5         # XOR tiled-table variant (amp_gcn.py:168-180)
 
     @property
@@ -71,6 +74,7 @@ class AMPGCNConfig:
     val_emb_dim: int = 1
     downsample_feature_vectors: bool = True
     average_pooling: bool = True      # mean-pool tokens vs CLS token
+    token_sampling: str = "uniform"   # 'uniform' | 'tfidf'
     dropout_rate: float = 0.1
     dropout_adj_rate: float = 0.1
     feature_repeats: int = 5
@@ -102,6 +106,7 @@ class AMPGCNConfig:
             downsample=self.downsample_feature_vectors,
             frontend=self.frontend,
             scaler=self.scaler,
+            sampling=self.token_sampling,
             feature_repeats=self.feature_repeats,
         )
 

@@ -25,6 +25,7 @@ from ampnet_tpu.ops.tokenize import (
     gather_tokens,
     sample_present_features,
     standardize,
+    tfidf_sample_features,
     tile_all_tokens,
 )
 
@@ -75,6 +76,8 @@ class FeatureTokenizer(nn.Module):
                 key = self.make_rng("sample")
                 if cfg.balanced_sampling:
                     sampled_idx = balanced_sample_features(key, x, cfg.num_sampled_vectors)
+                elif cfg.sampling == "tfidf":
+                    sampled_idx = tfidf_sample_features(key, x, cfg.num_sampled_vectors)
                 else:
                     sampled_idx = sample_present_features(key, x, cfg.num_sampled_vectors)
             tokens = gather_tokens(x_norm, sampled_idx, table)

@@ -70,6 +70,31 @@ def sample_present_features(
     return jax.random.categorical(key, logits[:, None, :], axis=-1, shape=(x.shape[0], num_samples)).astype(jnp.int32)
 
 
+def tfidf_sample_features(
+    key: jax.Array,
+    x: jnp.ndarray,
+    num_samples: int,
+) -> jnp.ndarray:
+    """Per node, sample `num_samples` present features with replacement,
+    weighted by TF-IDF (idf_j = log(N / (1 + df_j)) from this batch).
+
+    A framework improvement over the reference's uniform present-feature
+    sampling (amp_gcn.py:132-135): rare, class-discriminative features are
+    drawn more often than ubiquitous ones. Returns [N, num_samples] int32.
+    """
+    n = x.shape[0]
+    present = x != 0
+    df = jnp.sum(present, axis=0)                       # [F]
+    idf = jnp.log(n / (1.0 + df))
+    weights = jnp.abs(x) * jnp.maximum(idf, 1e-3)[None, :]
+    any_present = jnp.any(present, axis=1, keepdims=True)
+    logw = jnp.where(present, jnp.log(jnp.maximum(weights, 1e-30)), _NEG_INF)
+    logw = jnp.where(any_present, logw, 0.0)            # empty nodes: uniform
+    return jax.random.categorical(
+        key, logw[:, None, :], axis=-1, shape=(n, num_samples)
+    ).astype(jnp.int32)
+
+
 def balanced_sample_features(
     key: jax.Array,
     x: jnp.ndarray,

@@ -88,3 +88,18 @@ def test_pca_embedding_matches_sklearn(rng):
         d_same = np.abs(ours[:, c] - theirs[:, c]).max()
         d_flip = np.abs(ours[:, c] + theirs[:, c]).max()
         assert min(d_same, d_flip) < 1e-3
+
+
+def test_tfidf_sampling_prefers_rare_features():
+    from ampnet_tpu.ops.tokenize import tfidf_sample_features
+
+    # feature 0 present in ALL nodes (low idf); feature 5 present in one
+    x = np.zeros((20, 10), np.float32)
+    x[:, 0] = 1.0
+    x[3, 5] = 1.0
+    idx = np.asarray(tfidf_sample_features(jax.random.PRNGKey(0), jnp.asarray(x), 400))
+    # node 3: the rare feature should dominate its draws
+    counts = np.bincount(idx[3], minlength=10)
+    assert counts[5] > counts[0]
+    # nodes without the rare feature only draw present features
+    assert set(idx[0].tolist()) == {0}
