@@ -323,6 +323,7 @@ def amp_edge_attention_pallas_core(
     num_heads: int,
     softmax: bool = True,
     gather: str = "vmem",
+    group: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Projection (XLA) -> fused kernel (Pallas) -> mean + out-proj (XLA)."""
@@ -665,7 +666,7 @@ def make_pallas_edge_attention(
     def fused(x, params):
         return amp_edge_attention_pallas_core(
             x, params, tcsr, receivers_j, mask_j, num_heads, softmax,
-            gather, interpret,
+            gather, group, interpret,
         )
 
     def fwd(x, params):
