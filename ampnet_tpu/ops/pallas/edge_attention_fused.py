@@ -21,10 +21,21 @@ into one kernel over a node-tile grid with a tiled-CSR edge layout
     once per tile.
 
 QKV/out projections and the mean division stay in XLA (pure matmuls it
-already schedules optimally). The public wrapper amp_edge_attention_pallas
-is a drop-in for ops.edge_attention.amp_edge_attention with a custom VJP
-whose backward recomputes via the XLA path (forward-speed optimization;
-fused backward is future work).
+already schedules optimally). Public surfaces:
+
+  * amp_edge_attention_pallas — drop-in for
+    ops.edge_attention.amp_edge_attention with a DYNAMIC tiled-CSR layout
+    (one executable across GraphSAINT subgraphs) and a fused Pallas
+    backward by default (edge_attention_bwd.py; forward sums stashed as
+    VJP residuals);
+  * fused_attention_aggregate — attention+sum over pre-projected Q/K|V
+    for the edge-partitioned multi-chip path (parallel/edge_partition.py);
+  * make_pallas_edge_attention — fixed-structure closure for benchmarks.
+
+Two gather modes: 'vmem' keeps the projected K|V resident in VMEM (fast;
+fits to ~100k token-rows); 'dma' streams per-edge K|V rows from HBM with
+double-buffered async copies (production scale — at 200k+ edges the XLA
+path cannot even materialize its gather intermediates in HBM).
 """
 from __future__ import annotations
 
