@@ -153,6 +153,10 @@ class TrainConfig:
     # final-eval ensemble size over token-sampling draws (1 = reference
     # behavior: a single stochastic draw at eval, amp_gcn.py:135)
     num_eval_samples: int = 1
+    # evaluate every K epochs and report final metrics from the
+    # best-validation-accuracy params (standard model selection; the
+    # reference only evaluates the last epoch). 0 disables.
+    select_best_every: int = 0
 
 
 def replace(cfg, **kw):

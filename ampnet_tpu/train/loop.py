@@ -67,6 +67,7 @@ def train_full_batch(
     eval_graph = eval_graph if eval_graph is not None else graph
 
     history: List[Dict[str, float]] = []
+    best_val, best_params = -1.0, None
     t0 = time.time()
     for epoch in range(start_epoch, cfg.epochs):
         state, metrics = train_step(state, graph)
@@ -79,12 +80,22 @@ def train_full_batch(
                 f"train acc {row.get('train_acc', float('nan')):.4f} | "
                 f"test acc {row.get('test_acc', float('nan')):.4f}"
             )
+        if (cfg.select_best_every and eval_graph.val_mask is not None
+                and (epoch + 1) % cfg.select_best_every == 0):
+            m = eval_step(state.params, eval_graph, jax.random.PRNGKey(cfg.seed + 7))
+            va = float(m.get("val_acc", -1.0))
+            if va > best_val:
+                best_val = va
+                best_params = jax.tree_util.tree_map(lambda a: a.copy(), state.params)
         if cfg.run_dir and cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
             save_checkpoint(
                 os.path.join(cfg.run_dir, f"checkpoint_ep{epoch}.pkl"),
                 state, epoch, row["loss"],
             )
-    final = eval_step(state.params, eval_graph, jax.random.PRNGKey(cfg.seed + 999))
+    final_params = best_params if best_params is not None else state.params
+    if best_params is not None:
+        log.log(f"model selection: best val acc {best_val:.4f}")
+    final = eval_step(final_params, eval_graph, jax.random.PRNGKey(cfg.seed + 999))
     final = {k: float(v) for k, v in final.items()}
     headline = final.get("test_acc", final.get("train_acc", float("nan")))
     log.log(f"Final Test Accuracy: {headline:.4f} ({time.time() - t0:.1f}s)")
