@@ -177,11 +177,163 @@ def _bwd_kernel_vmem(
     dq_out_ref[:] = dqacc_ref[:].astype(dq_out_ref.dtype)
 
 
+def _bwd_kernel_dma(
+    senders_ref, recv_ref, valid_ref,
+    q_ref,         # VMEM [TN*SP, D]
+    kv_hbm,        # ANY [N_all*SP, 2D] — too big for VMEM; DMA per edge
+    dsum_ref,      # VMEM [TN*SP, D]
+    dq_out_ref, dkv_stream,
+    dqacc_ref, qbuf_ref, kvbuf_ref,  # kvbuf [2, G*SP, 2D]
+    dmbuf_ref, dkvbuf_ref,
+    gsems,         # DMA sems (2, G) — K|V gathers
+    ssems,         # DMA sems (2,)   — stream writes
+    *,
+    s: int, sp: int, d: int, num_heads: int, group: int, emax: int,
+    softmax: bool,
+):
+    """Production-scale backward: K|V rows DMA-gathered from HBM per edge
+    group (double-buffered), mirroring the forward's 'dma' gather mode."""
+    g = group
+    dh = d // num_heads
+    scale = 1.0 / (dh ** 0.5)
+    n_groups = emax // g
+    t = pl.program_id(0)
+
+    dqacc_ref[:] = jnp.zeros(dqacc_ref.shape, dqacc_ref.dtype)
+
+    blk_row = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 0) // sp
+    blk_col = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 1) // sp
+    col_tok = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 1) % sp
+    block_mask = (blk_row == blk_col) & (col_tok < s)
+
+    def gather_dma(gi, slot, j):
+        ns = senders_ref[0, 0, gi * g + j]
+        return pltpu.make_async_copy(
+            kv_hbm.at[pl.ds(ns * sp, sp), :],
+            kvbuf_ref.at[slot, pl.ds(j * sp, sp), :],
+            gsems.at[slot, j],
+        )
+
+    def start_gather(gi, slot):
+        for j in range(g):
+            gather_dma(gi, slot, j).start()
+
+    def wait_gather(gi, slot):
+        for j in range(g):
+            gather_dma(gi, slot, j).wait()
+
+    def stream_dma(gi, slot):
+        row0 = (t * emax + gi * g) * sp
+        return pltpu.make_async_copy(
+            dkvbuf_ref.at[slot],
+            dkv_stream.at[pl.ds(row0, g * sp), :],
+            ssems.at[slot],
+        )
+
+    @pl.when(valid_ref[0, 0, 0] != 0)
+    def _():
+        start_gather(0, 0)
+
+    def body(gi, _):
+        @pl.when(valid_ref[0, 0, gi * g] != 0)
+        def _run():
+            _group(gi)
+        return 0
+
+    def _group(gi):
+        slot = jax.lax.rem(gi, 2)
+        nxt = jax.lax.rem(gi + 1, 2)
+
+        @pl.when((gi + 1 < n_groups) & (valid_ref[0, 0, jnp.minimum(gi + 1, n_groups - 1) * g] != 0))
+        def _():
+            start_gather(gi + 1, nxt)
+
+        wait_gather(gi, slot)
+        for j in range(g):
+            r = recv_ref[0, 0, gi * g + j]
+            val = valid_ref[0, 0, gi * g + j].astype(q_ref.dtype)
+            qbuf_ref[pl.ds(j * sp, sp), :] = q_ref[pl.ds(r * sp, sp), :]
+            dmbuf_ref[pl.ds(j * sp, sp), :] = dsum_ref[pl.ds(r * sp, sp), :] * val
+
+        q = qbuf_ref[:]
+        kv = kvbuf_ref[slot]
+        dm = dmbuf_ref[:]
+        dtype = q.dtype
+        dq_blocks, dk_blocks, dv_blocks = [], [], []
+        for h in range(num_heads):
+            qh = q[:, h * dh : (h + 1) * dh]
+            kh = kv[:, h * dh : (h + 1) * dh]
+            vh = kv[:, d + h * dh : d + (h + 1) * dh]
+            dmh = dm[:, h * dh : (h + 1) * dh]
+            scores = jax.lax.dot_general(
+                qh * jnp.asarray(scale, dtype), kh,
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            if softmax:
+                scores = jnp.where(block_mask, scores, -jnp.inf)
+                mx = jnp.max(scores, axis=1, keepdims=True)
+                ex = jnp.exp(scores - mx)
+                w = ex / jnp.sum(ex, axis=1, keepdims=True)
+            else:
+                w = jnp.where(block_mask, scores, 0.0)
+            wt = w.astype(dtype)
+            dv_h = jax.lax.dot_general(
+                wt, dmh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dwm = jax.lax.dot_general(
+                dmh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            if softmax:
+                ds = w * (dwm - jnp.sum(dwm * w, axis=1, keepdims=True))
+            else:
+                ds = jnp.where(block_mask, dwm, 0.0)
+            ds = ds.astype(dtype)
+            dq_blocks.append(jax.lax.dot_general(
+                ds, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale)
+            dk_blocks.append(jax.lax.dot_general(
+                ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale)
+            dv_blocks.append(dv_h)
+        dq_g = jnp.concatenate(dq_blocks, axis=1)
+        dkv_g = jnp.concatenate(dk_blocks + dv_blocks, axis=1)
+
+        @pl.when(gi >= 2)
+        def _():
+            stream_dma(gi - 2, slot).wait()
+        dkvbuf_ref[slot] = dkv_g
+        stream_dma(gi, slot).start()
+
+        for j in range(g):
+            r = recv_ref[0, 0, gi * g + j]
+            val = valid_ref[0, 0, gi * g + j].astype(jnp.float32)
+            block = dq_g[j * sp : (j + 1) * sp, :] * val
+            cur = dqacc_ref[pl.ds(r * sp, sp), :]
+            dqacc_ref[pl.ds(r * sp, sp), :] = cur + block
+
+    jax.lax.fori_loop(0, n_groups, body, 0)
+
+    def count_body(gi, c):
+        return c + (valid_ref[0, 0, gi * g] != 0).astype(jnp.int32)
+
+    nv = jax.lax.fori_loop(0, n_groups, count_body, jnp.int32(0))
+
+    @pl.when(nv >= 1)
+    def _():
+        stream_dma(nv - 1, jax.lax.rem(nv - 1, 2)).wait()
+
+    @pl.when(nv >= 2)
+    def _():
+        stream_dma(nv - 2, jax.lax.rem(nv - 2, 2)).wait()
+
+    dq_out_ref[:] = dqacc_ref[:].astype(dq_out_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax",
-        "s", "interpret",
+        "s", "gather", "interpret",
     ),
 )
 def fused_edge_bwd(
@@ -199,17 +351,46 @@ def fused_edge_bwd(
     num_tiles: int,
     emax: int,
     s: int,
+    gather: str = "vmem",
     interpret: bool = False,
 ):
     """Returns (dq_rows [Nt*SP, D] f32, dkv_stream [T*EMAX*SP, 2D] f32)."""
     sp = q_rows.shape[0] // (num_tiles * tile_nodes)
     d = q_rows.shape[1]
     tn = tile_nodes
-    kernel = functools.partial(
-        _bwd_kernel_vmem,
-        s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
-        softmax=softmax,
-    )
+    if gather == "vmem":
+        kernel = functools.partial(
+            _bwd_kernel_vmem,
+            s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
+            softmax=softmax,
+        )
+        kv_spec = pl.BlockSpec(
+            (kv_rows.shape[0], 2 * d), lambda t: (0, 0), memory_space=pltpu.VMEM
+        )
+        scratch = [
+            pltpu.VMEM((tn * sp, d), jnp.float32),
+            pltpu.VMEM((group * sp, d), q_rows.dtype),
+            pltpu.VMEM((group * sp, 2 * d), kv_rows.dtype),
+            pltpu.VMEM((group * sp, d), q_rows.dtype),
+            pltpu.VMEM((2, group * sp, 2 * d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kernel = functools.partial(
+            _bwd_kernel_dma,
+            s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
+            softmax=softmax,
+        )
+        kv_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [
+            pltpu.VMEM((tn * sp, d), jnp.float32),
+            pltpu.VMEM((group * sp, d), q_rows.dtype),
+            pltpu.VMEM((2, group * sp, 2 * d), kv_rows.dtype),
+            pltpu.VMEM((group * sp, d), q_rows.dtype),
+            pltpu.VMEM((2, group * sp, 2 * d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, group)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -218,9 +399,7 @@ def fused_edge_bwd(
             pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tn * sp, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (kv_rows.shape[0], 2 * d), lambda t: (0, 0), memory_space=pltpu.VMEM
-            ),
+            kv_spec,
             pl.BlockSpec((tn * sp, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -231,14 +410,7 @@ def fused_edge_bwd(
             jax.ShapeDtypeStruct((num_tiles * tn * sp, d), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles * emax * sp, 2 * d), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((tn * sp, d), jnp.float32),
-            pltpu.VMEM((group * sp, d), q_rows.dtype),
-            pltpu.VMEM((group * sp, 2 * d), kv_rows.dtype),
-            pltpu.VMEM((group * sp, d), q_rows.dtype),
-            pltpu.VMEM((2, group * sp, 2 * d), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

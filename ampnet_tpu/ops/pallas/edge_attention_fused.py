@@ -435,7 +435,7 @@ def amp_edge_attention_pallas(
         x_, params_, sums_, count_ = res
         return _pallas_bwd_dynamic(
             x_, params_, g, tcsr_like, receivers, edge_mask, num_heads,
-            softmax, interpret, sums=sums_, count=count_,
+            softmax, gather, interpret, sums=sums_, count=count_,
         )
 
     fused.defvjp(fwd, bwd_fused if fused_bwd else bwd_xla)
@@ -444,7 +444,7 @@ def amp_edge_attention_pallas(
 
 def _pallas_bwd_dynamic(
     x, params, gout, tcsr, receivers, edge_mask, num_heads, softmax,
-    interpret, sums=None, count=None,
+    gather, interpret, sums=None, count=None,
 ):
     """Full backward: out-proj/mean grads (XLA) -> pass A kernel
     (recompute + dQ/dK/dV) -> sender segment-sum + projection grads (XLA).
@@ -478,7 +478,7 @@ def _pallas_bwd_dynamic(
             q_rows, kv_rows, tcsr.senders, tcsr.recv_local, tcsr.valid,
             num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
             group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
-            gather="vmem", interpret=interpret,
+            gather=gather, interpret=interpret,
         )
         sums = sums_rows[: n * sp].reshape(n, sp, d)[:, :s, :]
     mean = sums / jnp.maximum(count, 1.0)[:, None, None]
@@ -500,7 +500,7 @@ def _pallas_bwd_dynamic(
         tcsr.senders, tcsr.recv_local, tcsr.valid,
         num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
         group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
-        interpret=interpret,
+        gather=gather, interpret=interpret,
     )
     dq_nodes = dq_rows[: n * sp].reshape(n, sp, d)[:, :s, :]
 

@@ -63,3 +63,34 @@ def test_fused_bwd_matches_xla_vjp(rng, softmax):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=3e-3, atol=3e-4, err_msg=name
         )
+
+
+@pytest.mark.parametrize("softmax", [True, False])
+def test_fused_bwd_dma_gather_matches_xla_vjp(rng, softmax):
+    """DMA-gather backward variant (production scale path), interpret."""
+    x, senders, receivers, mask, params = make_case(rng)
+    tcsr = build_tiled_csr(senders, receivers, mask, 16, tile_nodes=8, group=4)
+
+    def fused_loss(x, params):
+        out = amp_edge_attention_pallas(
+            x, params, jnp.asarray(senders), jnp.asarray(receivers),
+            jnp.asarray(mask),
+            jnp.asarray(tcsr.senders), jnp.asarray(tcsr.recv_local),
+            jnp.asarray(tcsr.valid),
+            num_heads=H, softmax=softmax, tile_nodes=8,
+            gather="dma", fused_bwd=True, interpret=True,
+        )
+        return jnp.sum(out * jnp.cos(out))
+
+    def ref_loss(x, params):
+        out, _ = amp_edge_attention(
+            x, jnp.asarray(senders), jnp.asarray(receivers), jnp.asarray(mask),
+            params, H, softmax=softmax, return_weights=False,
+        )
+        return jnp.sum(out * jnp.cos(out))
+
+    lf, (gx_f, gp_f) = jax.value_and_grad(fused_loss, argnums=(0, 1))(x, params)
+    lr, (gx_r, gp_r) = jax.value_and_grad(ref_loss, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(lf, lr, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), rtol=3e-3, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gp_f.w_qkv), np.asarray(gp_r.w_qkv), rtol=3e-3, atol=3e-4)
