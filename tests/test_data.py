@@ -164,3 +164,19 @@ def test_synthetic_cora_shape():
 def test_load_cora_falls_back():
     d = load_cora()
     assert d.x.shape == (2708, 1433)
+
+
+def test_pad_graph_regrows(rng):
+    from ampnet_tpu.core.graph import pad_graph
+
+    x = rng.normal(size=(6, 3)).astype(np.float32)
+    ei = np.stack([rng.integers(0, 6, 10), rng.integers(0, 6, 10)])
+    g = from_arrays(x, ei, y=np.arange(6), train_mask=np.ones(6, bool),
+                    node_norm=np.ones(6, np.float32),
+                    pad_nodes_to=8, pad_edges_to=128)
+    g2 = pad_graph(g, 16, 256)
+    assert g2.x.shape == (16, 3)
+    assert g2.senders.shape == (256,)
+    assert int(g2.num_nodes) == 6 and int(g2.num_edges) == 10
+    np.testing.assert_array_equal(np.asarray(g2.x[:8]), np.asarray(g.x))
+    assert not bool(g2.node_mask[8])

@@ -50,14 +50,15 @@ def test_tiled_csr_layout(rng):
 
 
 @pytest.mark.parametrize("softmax", [True, False])
-def test_fused_kernel_parity_interpret(rng, softmax):
+@pytest.mark.parametrize("gather", ["vmem", "dma"])
+def test_fused_kernel_parity_interpret(rng, softmax, gather):
     x, senders, receivers, mask = build_case(rng)
     params = make_params(rng)
     tcsr = build_tiled_csr(senders, receivers, mask, 16, tile_nodes=8, group=4)
 
     fused = amp_edge_attention_pallas_core(
         x, params, tcsr, jnp.asarray(receivers), jnp.asarray(mask),
-        H, softmax=softmax, interpret=True,
+        H, softmax=softmax, gather=gather, interpret=True,
     )
     ref, _ = amp_edge_attention(
         x, jnp.asarray(senders), jnp.asarray(receivers), jnp.asarray(mask),
