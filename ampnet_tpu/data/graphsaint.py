@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import warnings
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -246,6 +247,20 @@ class GraphSaintRandomWalkSampler:
 
     def sample(self) -> Graph:
         nodes, eids = self._subgraph(self.rng)
+        # Tail-large subgraphs can exceed the probe-estimated pad budget on
+        # long runs (the probe sees only 20 draws). Regrow to the next
+        # bucket instead of raising — this costs ONE recompile of the
+        # train step (new static shapes) but never kills a long run.
+        if len(nodes) > self.pad_nodes_to or len(eids) > self.pad_edges_to:
+            new_n = max(self.pad_nodes_to, _round_up(int(len(nodes) * 1.3) + 8, 64))
+            new_e = max(self.pad_edges_to, _round_up(int(len(eids) * 1.3) + 8, 128))
+            warnings.warn(
+                f"GraphSAINT subgraph ({len(nodes)} nodes, {len(eids)} edges) "
+                f"exceeds pad budget ({self.pad_nodes_to}, {self.pad_edges_to}); "
+                f"regrowing to ({new_n}, {new_e}) — one-time recompile",
+                stacklevel=2,
+            )
+            self.pad_nodes_to, self.pad_edges_to = new_n, new_e
         return self._collate(nodes, eids)
 
     def __len__(self) -> int:
@@ -262,9 +277,15 @@ class GraphSaintRandomWalkSampler:
         q: "queue.Queue" = queue.Queue(maxsize=depth)
 
         def producer():
-            for g in self:
-                q.put(g)
-            q.put(None)
+            # Exceptions must reach the consumer: a dead producer thread
+            # with no sentinel would leave the training loop blocked on
+            # q.get() forever (a silent hang instead of an error).
+            try:
+                for g in self:
+                    q.put(g)
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -272,6 +293,8 @@ class GraphSaintRandomWalkSampler:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

@@ -144,6 +144,10 @@ class AMPGCN(nn.Module):
         else:
             pooled = x[:, 0]                   # CLS token (amp_gcn.py:270)
 
+        # Deliberate deviation: the reference's head keeps torch Linear's
+        # kaiming-uniform default; we use xavier-uniform here (slightly
+        # smaller scale at output_dim << d) — measured equivalent on the
+        # surrogate, documented per ADVICE r1.
         logits = nn.Dense(
             cfg.output_dim,
             kernel_init=nn.initializers.xavier_uniform(),

@@ -50,10 +50,17 @@ class AMPConv(nn.Module):
         d = self.embed_dim
         if x.shape[-1] != d:
             raise ValueError(f"expected last dim {d}, got {x.shape}")
+        # torch nn.MultiheadAttention._reset_parameters xavier-inits only
+        # in_proj; out_proj.weight keeps torch Linear's kaiming-uniform
+        # default (a=sqrt(5) => bound 1/sqrt(fan_in), i.e. variance
+        # scale 1/3 uniform over fan_in) and out_proj.bias is zeroed.
+        kaiming_linear = nn.initializers.variance_scaling(
+            1.0 / 3.0, "fan_in", "uniform"
+        )
         params = MHAParams(
             w_qkv=self.param("w_qkv", nn.initializers.xavier_uniform(), (d, 3 * d)),
             b_qkv=self.param("b_qkv", nn.initializers.zeros, (3 * d,)),
-            w_out=self.param("w_out", nn.initializers.xavier_uniform(), (d, d)),
+            w_out=self.param("w_out", kaiming_linear, (d, d)),
             b_out=self.param("b_out", nn.initializers.zeros, (d,)),
         )
         if self.dtype is not None:

@@ -67,6 +67,12 @@ class FeatureTokenizer(nn.Module):
         if cfg.scaler == "none":
             x_norm = x
         elif cfg.scaler == "precomputed":
+            if scaler_mean is None or scaler_std is None:
+                raise ValueError(
+                    "scaler='precomputed' requires scaler_mean and scaler_std; "
+                    "a silent fallback to batch stats would normalize over "
+                    "padded all-zero rows"
+                )
             x_norm = standardize(x, scaler_mean, scaler_std)
         else:  # 'batch' — refit on current batch, matching amp_gcn.py:122-124
             x_norm = standardize(x, node_mask=node_mask)

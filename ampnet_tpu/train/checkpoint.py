@@ -8,11 +8,13 @@ carry params + opt_state + PRNG key + step so resume is exact.
 from __future__ import annotations
 
 import os
-import pickle
 from typing import Any, Dict, Optional
 
 import jax
 from flax import serialization
+
+# Checkpoints are pure msgpack (flax.serialization) — no pickle anywhere,
+# so loading an untrusted checkpoint file cannot execute code.
 
 
 def save_checkpoint(
@@ -26,7 +28,7 @@ def save_checkpoint(
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
         "epoch": epoch,
-        "validation_loss": validation_loss,
+        "validation_loss": -1.0 if validation_loss is None else float(validation_loss),
         "state_bytes": serialization.to_bytes(state),
         # params stored separately so eval-time reload works without
         # reconstructing the exact optimizer (visualizer pattern, §3.4)
@@ -35,20 +37,25 @@ def save_checkpoint(
     }
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        pickle.dump(payload, f)
+        f.write(serialization.msgpack_serialize(payload))
     os.replace(tmp, path)
     return path
 
 
+def _read_payload(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
 def load_checkpoint(path: str, state_template) -> Dict[str, Any]:
     """Restore into a freshly-created TrainState of identical structure."""
-    with open(path, "rb") as f:
-        payload = pickle.load(f)
+    payload = _read_payload(path)
     state = serialization.from_bytes(state_template, payload["state_bytes"])
+    vl = payload["validation_loss"]
     return {
         "state": state,
-        "epoch": payload["epoch"],
-        "validation_loss": payload["validation_loss"],
+        "epoch": int(payload["epoch"]),
+        "validation_loss": None if vl == -1.0 else vl,
         "extra": payload.get("extra", {}),
     }
 
@@ -56,8 +63,7 @@ def load_checkpoint(path: str, state_template) -> Dict[str, Any]:
 def load_checkpoint_params(path: str, params_template):
     """Restore only the params from a full checkpoint (no optimizer
     reconstruction needed — for eval/visualization reload)."""
-    with open(path, "rb") as f:
-        payload = pickle.load(f)
+    payload = _read_payload(path)
     if "params_bytes" in payload:
         return serialization.from_bytes(params_template, payload["params_bytes"])
     raise KeyError(
