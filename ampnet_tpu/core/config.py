@@ -157,6 +157,10 @@ class TrainConfig:
     # best-validation-accuracy params (standard model selection; the
     # reference only evaluates the last epoch). 0 disables.
     select_best_every: int = 0
+    # SAINT loop: also log every K sampler steps in the reference's
+    # per-iteration format with LR (cora_benchmark_graphsaint.py:130-131).
+    # 0 = last step of each epoch only.
+    log_every_steps: int = 0
 
 
 def replace(cfg, **kw):

@@ -50,6 +50,7 @@ class AMPGCN(nn.Module):
         sampled_idx: Optional[jnp.ndarray] = None,
         return_aux: bool = True,
         fused_fns=None,  # optional (fn, fn): fused Pallas conv kernels
+        edge_layout=None,  # ops.pallas.format.EdgeLayout — activates cfg.use_pallas
     ) -> ModelOutput:
         cfg = self.config
         d = cfg.embedding_dim
@@ -57,6 +58,17 @@ class AMPGCN(nn.Module):
 
         # Edge dropout (dropout_adj, amp_gcn.py:241) — training only.
         if not deterministic and cfg.dropout_adj_rate > 0.0:
+            if edge_layout is not None or fused_fns is not None:
+                # The fused kernel reads edge validity from the host-built
+                # layout, not the runtime-dropped mask — silently keeping
+                # dropped edges would be wrong. (The headline reference
+                # configs run dropout_adj_rate=0.0,
+                # cora_benchmark_graphsaint.py:72.)
+                raise ValueError(
+                    "dropout_adj_rate > 0 is not supported on the fused "
+                    "Pallas path; set dropout_adj_rate=0.0 or disable "
+                    "use_pallas"
+                )
             edge_mask = dropout_edges(
                 self.make_rng("edges"), edge_mask, cfg.dropout_adj_rate
             )
@@ -107,6 +119,7 @@ class AMPGCN(nn.Module):
                     h, graph.senders, graph.receivers, edge_mask,
                     deterministic=deterministic, return_weights=return_aux,
                     fused_fn=None if fused_fns is None else fused_fns[i],
+                    layout=edge_layout,
                 )
                 attns.append(attn)
                 embs.append(h)
@@ -125,6 +138,7 @@ class AMPGCN(nn.Module):
                 x, graph.senders, graph.receivers, edge_mask,
                 deterministic=deterministic, return_weights=return_aux,
                 fused_fn=None if fused_fns is None else fused_fns[0],
+                layout=edge_layout,
             )
             conv1_embedding = x
             x = nn.relu(x)
@@ -134,6 +148,7 @@ class AMPGCN(nn.Module):
                 x, graph.senders, graph.receivers, edge_mask,
                 deterministic=deterministic, return_weights=return_aux,
                 fused_fn=None if fused_fns is None else fused_fns[1],
+                layout=edge_layout,
             )
             conv2_embedding = x
             x = nn.relu(x)

@@ -15,7 +15,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ampnet_tpu.ops.edge_attention import MHAParams, amp_edge_attention
+from ampnet_tpu.ops.edge_attention import (
+    MHAParams,
+    amp_edge_attention,
+    edge_attention_weights,
+)
 from ampnet_tpu.ops.gcn import gcn_aggregate
 
 
@@ -46,6 +50,8 @@ class AMPConv(nn.Module):
         deterministic: bool = True,
         return_weights: bool = True,
         fused_fn=None,
+        layout=None,            # ops.pallas.format.EdgeLayout for use_pallas
+        pallas_interpret: Optional[bool] = None,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         d = self.embed_dim
         if x.shape[-1] != d:
@@ -70,10 +76,44 @@ class AMPConv(nn.Module):
         if self.attn_dropout > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
 
+        if fused_fn is None and self.use_pallas and layout is not None:
+            # cfg.use_pallas honored end-to-end: build the fused call from
+            # the layout (tiled-CSR arrays are DATA — one executable across
+            # GraphSAINT subgraphs sharing a pad budget).
+            from ampnet_tpu.ops.pallas.edge_attention_fused import (
+                amp_edge_attention_pallas,
+            )
+
+            if pallas_interpret is None:
+                pallas_interpret = jax.default_backend() != "tpu"
+
+            def fused_fn(xx, pp):
+                return amp_edge_attention_pallas(
+                    xx, pp, senders, receivers, edge_mask,
+                    layout.tile_senders, layout.tile_recv, layout.tile_valid,
+                    num_heads=self.num_heads, softmax=self.softmax,
+                    tile_nodes=getattr(layout, "tile_nodes", 64),
+                    interpret=pallas_interpret,
+                )
+
         if fused_fn is not None:
-            # fused Pallas path: edge layout precomputed host-side via
-            # ops.pallas.make_pallas_edge_attention (weights not returned)
-            return fused_fn(x, params), None
+            # Fused Pallas path. The kernel never materializes per-edge
+            # weights; when the caller asks for them (interpretability is a
+            # first-class output, SURVEY §3.4) run the half-cost
+            # weights-only pass on the side.
+            if dropout_rng is not None:
+                raise ValueError(
+                    "attn_dropout is not supported on the fused Pallas path "
+                    "(reference runs MHA with dropout=0, amp_conv.py:18)"
+                )
+            out = fused_fn(x, params)
+            weights = None
+            if return_weights:
+                weights = edge_attention_weights(
+                    x, senders, receivers, params, self.num_heads,
+                    softmax=self.softmax,
+                )
+            return out, weights
         return amp_edge_attention(
             x,
             senders,

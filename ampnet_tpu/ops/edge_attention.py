@@ -115,6 +115,36 @@ def multihead_attention(
     return out @ params.w_out + params.b_out, weights
 
 
+def edge_attention_weights(
+    x: jnp.ndarray,
+    senders: jnp.ndarray,
+    receivers: jnp.ndarray,
+    params: MHAParams,
+    num_heads: int,
+    softmax: bool = True,
+) -> jnp.ndarray:
+    """Head-averaged attention weights [E, S, S] only — no value path, no
+    aggregation.
+
+    The interpretability companion to the fused Pallas kernel: the fused
+    forward never materializes per-edge weights (they exist only tile-by-
+    tile inside VMEM), so extraction runs this half-cost pass on demand.
+    Matches the weights amp_edge_attention returns (reference cache
+    `attn_output_weights`, src/ampnet/conv/amp_conv.py:39-47).
+    """
+    d = x.shape[-1]
+    head_dim = d // num_heads
+    wq, wk = params.w_qkv[:, :d], params.w_qkv[:, d : 2 * d]
+    bq, bk = params.b_qkv[:d], params.b_qkv[d : 2 * d]
+    q = (x @ wq + bq)[receivers]   # [E, S, D]
+    k = (x @ wk + bk)[senders]
+    qh = _split_heads(q, num_heads) * (1.0 / jnp.sqrt(head_dim).astype(q.dtype))
+    kh = _split_heads(k, num_heads)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(scores, axis=-1) if softmax else scores
+    return jnp.mean(weights.astype(q.dtype), axis=1)
+
+
 def amp_edge_attention(
     x: jnp.ndarray,
     senders: jnp.ndarray,

