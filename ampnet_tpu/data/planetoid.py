@@ -94,12 +94,14 @@ def load_planetoid_raw(root: str, name: str = "cora") -> PlanetoidData:
                 dst.append(nbr)
     edge_index = np.unique(np.stack([src, dst]), axis=1).astype(np.int32)
 
-    num_train = ally.shape[0] - 500  # standard split: allx minus last 500
     train_mask = np.zeros(n, bool)
     val_mask = np.zeros(n, bool)
     test_mask = np.zeros(n, bool)
-    train_mask[: objs["y"].shape[0]] = True
-    val_mask[objs["y"].shape[0] : objs["y"].shape[0] + 500] = True
+    y_len = objs["y"].shape[0]
+    train_mask[:y_len] = True
+    # canonical split: the 500 rows after the labeled head — clamped to the
+    # allx block so tiny fixtures can't spill val into the test rows
+    val_mask[y_len : min(y_len + 500, ally.shape[0])] = True
     test_mask[test_idx] = True
     return PlanetoidData(x, y, edge_index, train_mask, val_mask, test_mask, name=name)
 

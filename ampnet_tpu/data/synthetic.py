@@ -185,3 +185,136 @@ def get_duplicated_xor_graphs(
             )
         )
     return tuple(graphs)
+
+
+# -- cyclic cellular-automata graph (synthetic_rgb.py:12-91) ---------------
+
+def evolve_cyclic_ca(
+    state: np.ndarray,
+    num_colors: int,
+    steps: int,
+) -> np.ndarray:
+    """Advance a 2-D cyclic cellular automaton `steps` times.
+
+    Rule (reference rule table, synthetic_rgb.py:22-33): a cell at color c
+    advances to (c+1) mod k iff any von-Neumann neighbor already has that
+    color, else stays. Vectorized with periodic boundaries (the
+    reference's cellpylib evolve2d default) — no 6^5-entry rule dict.
+    """
+    s = state
+    for _ in range(steps):
+        nxt = (s + 1) % num_colors
+        neighbor_has_next = np.zeros_like(s, dtype=bool)
+        for shift, axis in ((1, 0), (-1, 0), (1, 1), (-1, 1)):
+            neighbor_has_next |= np.roll(s, shift, axis=axis) == nxt
+        s = np.where(neighbor_has_next, nxt, s)
+    return s
+
+
+def create_cyclic_ca_graph(
+    num_colors: int = 6,
+    grid_size: int = 30,
+    num_timesteps: int = 32,
+    warmup: int = 1000,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Cyclic-CA time-series graph — COMPLETED (the reference's
+    create_multicolor_cyclic_cellular_automata_graph builds everything
+    then `return None  # ToDo`, synthetic_rgb.py:12-91).
+
+    Cells of a grid_size^2 torus evolve under the cyclic rule; after
+    `warmup` steps the automaton settles into rotating spiral waves. Node
+    features are each cell's color time series over `num_timesteps`
+    post-warmup steps; the graph is the 4-neighbor grid adjacency with
+    self loops (reference intent; its adj loop indexed [row, col±1]
+    instead of [cell, neighbor] — fixed, not replicated). The label is
+    the cell's color at the step after the recorded window, making
+    next-state prediction a learnable node-classification task.
+
+    Returns (node_features [N, T] float32, edge_index [2, E], y [N]).
+    """
+    rng = rng or np.random.default_rng()
+    state = rng.integers(0, num_colors, size=(grid_size, grid_size))
+    state = evolve_cyclic_ca(state, num_colors, warmup)
+
+    frames = []
+    for _ in range(num_timesteps):
+        state = evolve_cyclic_ca(state, num_colors, 1)
+        frames.append(state.copy())
+    y = evolve_cyclic_ca(state, num_colors, 1)
+
+    # [T, H, W] -> [H*W, T]
+    feats = np.stack(frames).reshape(num_timesteps, -1).T.astype(np.float32)
+
+    n = grid_size * grid_size
+    idx = np.arange(n).reshape(grid_size, grid_size)
+    src, dst = [idx.ravel()], [idx.ravel()]        # self loops
+    for shift, axis in ((1, 0), (-1, 0), (1, 1), (-1, 1)):
+        src.append(idx.ravel())
+        dst.append(np.roll(idx, shift, axis=axis).ravel())
+    edge_index = np.stack([np.concatenate(src), np.concatenate(dst)]).astype(np.int32)
+    return feats, edge_index, y.ravel().astype(np.int64)
+
+
+# Reference per-color (R, G, B) weight table (synthetic_rgb.py:139-142).
+_CA_COLOR_WEIGHTS = np.array(
+    [
+        [150, 50, 55],
+        [180, 300, 45],
+        [60, 170, 25],
+        [75, 160, 20],
+        [10, 60, 185],
+        [40, 80, 135],
+    ],
+    dtype=np.float64,
+)
+
+
+def color_histogram_embedding(
+    node_features: np.ndarray,
+    num_colors: int = 6,
+) -> np.ndarray:
+    """Color-histogram -> RGB feature embedding (reference
+    feature_embedding, synthetic_rgb.py:98-147), vectorized.
+
+    Per node: count occurrences of each color in its time series, take
+    weighted R/G/B sums with the reference's per-color weight table, then
+    normalize each channel to a 0-255 share. Returns [N, 3] float32.
+    """
+    if num_colors > _CA_COLOR_WEIGHTS.shape[0]:
+        raise ValueError(
+            f"weight table covers {_CA_COLOR_WEIGHTS.shape[0]} colors, "
+            f"got num_colors={num_colors}"
+        )
+    nf = np.asarray(node_features).astype(np.int64)
+    n = nf.shape[0]
+    hist = np.zeros((n, num_colors), dtype=np.float64)
+    for c in range(num_colors):
+        hist[:, c] = (nf == c).sum(axis=1)
+    rgb = hist @ _CA_COLOR_WEIGHTS[:num_colors]        # [N, 3]
+    total = np.maximum(rgb.sum(axis=1, keepdims=True), 1e-12)
+    return (255.0 * rgb / total).astype(np.float32)
+
+
+def make_cyclic_ca_graph(
+    num_colors: int = 6,
+    grid_size: int = 30,
+    num_timesteps: int = 32,
+    embed: str = "histogram",   # 'histogram' (RGB embedding) | 'raw'
+    train_frac: float = 0.7,
+    rng: Optional[np.random.Generator] = None,
+    **pad_kwargs,
+) -> Graph:
+    """Cyclic-CA dataset as a padded Graph (features per `embed`, label =
+    next cell state, random train/test split)."""
+    rng = rng or np.random.default_rng()
+    feats, edge_index, y = create_cyclic_ca_graph(
+        num_colors, grid_size, num_timesteps, rng=rng
+    )
+    x = color_histogram_embedding(feats, num_colors) if embed == "histogram" else feats
+    n = x.shape[0]
+    train_mask = rng.random(n) < train_frac
+    return from_arrays(
+        x, edge_index, y=y, train_mask=train_mask, test_mask=~train_mask,
+        **pad_kwargs,
+    )

@@ -68,20 +68,54 @@ def plot_tsne_2d(
     return out
 
 
+def _spectral_neighbor_embedding(x: np.ndarray, k: int = 15) -> np.ndarray:
+    """2-D spectral embedding of the symmetrized kNN graph (numpy-only
+    UMAP stand-in: same neighbor graph, Laplacian eigenmaps instead of
+    the fuzzy-simplicial optimization)."""
+    n = x.shape[0]
+    k = min(k, n - 1)
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1) if n <= 2048 else None
+    if d2 is None:
+        # blockwise distances for larger inputs
+        d2 = np.empty((n, n), np.float64)
+        for i in range(0, n, 1024):
+            d2[i:i + 1024] = ((x[i:i + 1024, None, :] - x[None, :, :]) ** 2).sum(-1)
+    nn_idx = np.argsort(d2, axis=1)[:, 1:k + 1]
+    w = np.zeros((n, n), np.float64)
+    rows = np.repeat(np.arange(n), k)
+    w[rows, nn_idx.ravel()] = 1.0
+    w = np.maximum(w, w.T)
+    deg = np.maximum(w.sum(1), 1e-12)
+    d_inv_sqrt = 1.0 / np.sqrt(deg)
+    lap = np.eye(n) - d_inv_sqrt[:, None] * w * d_inv_sqrt[None, :]
+    vals, vecs = np.linalg.eigh(lap)
+    # skip the trivial (constant) eigenvector(s)
+    order = np.argsort(vals)
+    return vecs[:, order[1:3]]
+
+
 def plot_umap_2d(
     embeddings: np.ndarray,
     labels: np.ndarray,
     save_path: str,
     name: str = "umap_2d",
 ) -> Optional[str]:
-    """UMAP scatter (visualization/UMAP_testing.ipynb equivalent); returns
-    None when umap-learn isn't installed (it is an undeclared optional dep
-    in the reference too — SURVEY repo stats)."""
+    """UMAP scatter (visualization/UMAP_testing.ipynb equivalent).
+
+    Uses umap-learn when installed (an undeclared optional dep in the
+    reference too — SURVEY repo stats); otherwise falls back to a
+    self-contained spectral neighbor embedding (eigenvectors of the kNN
+    graph's normalized Laplacian — the same manifold-structure family
+    UMAP optimizes) so the exploration artifact is always produced.
+    """
+    emb64 = np.asarray(embeddings, np.float64)
     try:
         import umap  # type: ignore
+
+        proj = umap.UMAP(n_components=2).fit_transform(emb64)
     except ImportError:
-        return None
-    proj = umap.UMAP(n_components=2).fit_transform(np.asarray(embeddings, np.float64))
+        proj = _spectral_neighbor_embedding(emb64)
+        name = f"{name}_spectral_fallback"
     os.makedirs(save_path, exist_ok=True)
     fig, ax = plt.subplots(figsize=(7, 6))
     sc = ax.scatter(proj[:, 0], proj[:, 1], c=labels, cmap="tab10", s=8)

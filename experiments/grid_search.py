@@ -1,10 +1,13 @@
 """Hyperparameter grid search — mirrors synthetic_benchmark/grid_search.py:
 sweep noise_std in {0.1..0.6} x repeats, per-experiment run dirs +
 logfiles, aggregated CSV + boxplot (:76-122). Parallelism via
-multiprocessing is replaced by a sequential sweep by default (one TPU
-process) with an optional process pool for CPU runs."""
+multiprocessing matches the reference's mp.Pool (grid_search.py:84):
+--workers N runs experiments in a spawn-context process pool (children
+forced onto CPU — the TPU tunnel admits one device client at a time);
+the default stays sequential for device runs."""
 import argparse
 import csv
+import multiprocessing as mp
 import os
 
 import matplotlib
@@ -18,6 +21,14 @@ from synthetic_training_modular import train_model
 from ampnet_tpu.train import create_run_dir
 
 
+def _pool_init():
+    # children must not claim the TPU: the tunnel serializes clients and a
+    # second device process blocks forever (ROADMAP env notes)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def run_experiment(noise_std: float, repeat: int, run_base: str):
     max_train, max_test = train_model(
         {"noise_std": noise_std, "seed": repeat, "epochs": 100},
@@ -26,12 +37,25 @@ def run_experiment(noise_std: float, repeat: int, run_base: str):
     return noise_std, max_train, max_test
 
 
-def controller(noise_stds=(0.1, 0.2, 0.3, 0.4, 0.5, 0.6), repeats=5, run_base=None):
+def controller(noise_stds=(0.1, 0.2, 0.3, 0.4, 0.5, 0.6), repeats=5,
+               run_base=None, workers: int = 0):
     run_base = run_base or create_run_dir("runs", details="grid search")
-    results = []
-    for ns in noise_stds:
-        for rep in range(repeats):
-            results.append(run_experiment(ns, rep, run_base))
+    jobs = [(ns, rep) for ns in noise_stds for rep in range(repeats)]
+    if workers > 1:
+        # reference pattern: mp.Pool(3).apply_async per experiment
+        # (synthetic_benchmark/grid_search.py:76-95)
+        ctx = mp.get_context("spawn")
+        results = []
+        with ctx.Pool(workers, initializer=_pool_init) as pool:
+            handles = [
+                pool.apply_async(run_experiment, (ns, rep, run_base))
+                for ns, rep in jobs
+            ]
+            for h in handles:
+                results.append(h.get())
+    else:
+        results = [run_experiment(ns, rep, run_base) for ns, rep in jobs]
+    results.sort(key=lambda r: r[0])
     plot_search_figure(results, run_base)
     return results
 
@@ -58,5 +82,8 @@ def plot_search_figure(results, run_base):
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--workers", type=int, default=0,
+                   help="process-pool size (reference used mp.Pool(3)); "
+                        "0/1 = sequential")
     a = p.parse_args()
-    controller(repeats=a.repeats)
+    controller(repeats=a.repeats, workers=a.workers)
