@@ -152,12 +152,15 @@ def build(e=10556, n=2708, s=20, d=128, tile_nodes=64, group=8, seed=0):
                 padded_edges=tcsr.num_tiles * tcsr.edges_per_tile)
 
 
-def timeit(inp, **kw):
+def timeit(inp, repeats=3, **kw):
     fn = lambda q: run_variant(
         q, inp["kv_rows"], inp["ts"], inp["tr"], inp["tv"],
         num_heads=4, tile_nodes=inp["tile_nodes"], group=kw.pop("group", 8),
         num_tiles=inp["num_tiles"], emax=inp["emax"], s=inp["s"], **kw)
-    return time_fn(fn, inp["q_rows"])
+    # kernel-only times are ~1-3 ms; use a deep device loop so the chained
+    # iterations dominate relay jitter, and take the median of repeats
+    ts = [time_fn(fn, inp["q_rows"], k1=4, k2=44) for _ in range(repeats)]
+    return float(np.median(ts))
 
 
 def main():
