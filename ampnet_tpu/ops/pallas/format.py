@@ -9,7 +9,7 @@ step.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import numpy as np
 
@@ -21,6 +21,13 @@ class TiledCSR(NamedTuple):
     tile_nodes: int          # TN
     num_tiles: int           # T
     edges_per_tile: int      # EMAX (multiple of group size)
+    counts: Optional[np.ndarray] = None     # [T] int32 live edges per tile
+    edge_slot: Optional[np.ndarray] = None  # [E] int32 flat layout slot of
+    #                                         each input edge (-1 = masked):
+    #                                         slot = tile * EMAX + position.
+    #                                         Enables scattering a RUNTIME
+    #                                         edge mask (dropout_adj) into
+    #                                         the kernel's validity array.
 
 
 def build_tiled_csr(
@@ -69,13 +76,24 @@ def build_tiled_csr(
     s, r, tile_of_edge = s[order], r[order], tile_of_edge[order]
     starts = np.zeros(t + 1, np.int64)
     starts[1:] = np.cumsum(counts)
+    # slot of each SELECTED edge (in sorted order), then scattered back to
+    # original edge ids so callers can map runtime edge masks into layout
+    # positions
+    sel_ids = np.nonzero(sel)[0][order]
+    slot_sorted = np.empty(len(sel_ids), np.int64)
     for ti in range(t):
         a, b = starts[ti], starts[ti + 1]
         k = b - a
         out_s[ti, :k] = s[a:b]
         out_r[ti, :k] = r[a:b] % tn
         out_v[ti, :k] = 1
-    return TiledCSR(out_s, out_r, out_v, tn, t, emax)
+        slot_sorted[a:b] = ti * emax + np.arange(k)
+    edge_slot = np.full(len(senders), -1, np.int64)
+    edge_slot[sel_ids] = slot_sorted
+    return TiledCSR(
+        out_s, out_r, out_v, tn, t, emax,
+        counts=counts.astype(np.int32), edge_slot=edge_slot.astype(np.int32),
+    )
 
 try:
     from flax import struct as _struct

@@ -20,7 +20,7 @@ TRAIN_AMPCONV = True  # reference switch at :27
 
 
 def main(epochs=50, steps_per_epoch=200, train_ampconv=TRAIN_AMPCONV, run_base="runs",
-         fused=False):
+         fused=False, stabilized=False):
     np.random.seed(1)  # reference seeds :20-23
     d, full_g = cora_graph()
     sampler = GraphSaintRandomWalkSampler(
@@ -32,60 +32,42 @@ def main(epochs=50, steps_per_epoch=200, train_ampconv=TRAIN_AMPCONV, run_base="
     if train_ampconv:
         cfg = AMPGCNConfig(
             embedding_dim=128, num_heads=4, num_node_features=1433,
-            num_sampled_vectors=20, output_dim=7, feat_emb_dim=127, val_emb_dim=1,
+            num_sampled_vectors=40 if stabilized else 20,
+            output_dim=7, feat_emb_dim=127, val_emb_dim=1,
+            token_sampling="tfidf" if stabilized else "uniform",
+            dropout_adj_rate=0.0 if fused else 0.1,
+            use_pallas=fused,
         )
         model = AMPGCN(config=cfg)
     else:
         model = GCN(num_node_features=1433, feat_emb_dim=127, val_emb_dim=1, output_dim=7)
 
-    run_dir = create_run_dir(run_base, details=f"cora graphsaint ampconv={train_ampconv}")
-    tcfg = TrainConfig(
-        learning_rate=0.1, weight_decay=1e-4, epochs=epochs,
-        cosine_t0=400, cosine_t_mult=2, checkpoint_every=10, run_dir=run_dir,
+    run_dir = create_run_dir(
+        run_base,
+        details=f"cora graphsaint ampconv={train_ampconv} stabilized={stabilized}",
     )
-    log = Logfile(f"{run_dir}/_details.txt")
-    if fused and train_ampconv:
-        result = train_saint_fused(model, sampler, full_g, tcfg, log)
+    if stabilized:
+        # The framework's recipe for SAINT that actually learns: the
+        # reference's lr=0.1 warm-restart schedule diverges (RESULTS r1);
+        # full-batch-grade LR + grad clip + TF-IDF tokens + per-epoch
+        # best-val selection + ensemble eval bring the subgraph path to
+        # full-batch-level accuracy.
+        tcfg = TrainConfig(
+            learning_rate=3e-3, weight_decay=5e-4, epochs=epochs,
+            cosine_t0=None, grad_clip=1.0, checkpoint_every=10,
+            run_dir=run_dir, select_best_every=1, num_eval_samples=8,
+            log_every_steps=50,
+        )
     else:
-        result = train_saint(model, sampler, full_g, tcfg, log=log)
+        # exact reference recipe (documented-instability artifact)
+        tcfg = TrainConfig(
+            learning_rate=0.1, weight_decay=1e-4, epochs=epochs,
+            cosine_t0=400, cosine_t_mult=2, checkpoint_every=10, run_dir=run_dir,
+        )
+    log = Logfile(f"{run_dir}/_details.txt")
+    result = train_saint(model, sampler, full_g, tcfg, log=log)
     plot_history(result["history"], run_dir)
     return result
-
-
-def train_saint_fused(model, sampler, full_g, tcfg, log):
-    """SAINT loop with the fused Pallas conv kernels: one executable across
-    subgraphs via a fixed per-tile edge budget."""
-    import jax
-
-    from ampnet_tpu.train import create_train_state, make_eval_step
-    from ampnet_tpu.train.loop import _opt
-    from ampnet_tpu.train.pallas_step import (
-        compute_layout,
-        default_edge_budget,
-        make_pallas_train_step,
-    )
-
-    probe = sampler.sample()
-    budget = default_edge_budget(
-        probe.num_edges_padded, probe.num_nodes_padded // 64, slack=4.0
-    )
-    state = create_train_state(model, probe, _opt(tcfg), seed=tcfg.seed)
-    step = make_pallas_train_step(model, loss_mode="saint")
-    eval_step = make_eval_step(model)
-    history = []
-    for epoch in range(tcfg.epochs):
-        for sub in sampler.prefetch():
-            layout = compute_layout(sub, tile_nodes=64, edges_per_tile=budget)
-            state, metrics = step(state, sub, layout)
-        row = {k: float(v) for k, v in metrics.items()}
-        row["epoch"] = epoch
-        history.append(row)
-        log.log(f"Epoch {epoch:4d} | loss {row['loss']:.4f} | "
-                f"sub train acc {row.get('train_acc', float('nan')):.4f}")
-    final = eval_step(state.params, full_g, jax.random.PRNGKey(tcfg.seed + 999))
-    final = {k: float(v) for k, v in final.items()}
-    log.log(f"Final Test Accuracy: {final.get('test_acc', float('nan')):.4f}")
-    return {"state": state, "history": history, "final_metrics": final}
 
 
 if __name__ == "__main__":
@@ -93,6 +75,11 @@ if __name__ == "__main__":
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--gcn", action="store_true", help="train the GCN baseline instead")
-    p.add_argument("--fused", action="store_true", help="use the fused Pallas conv kernels")
+    p.add_argument("--fused", action="store_true",
+                   help="fused Pallas conv kernels (cfg.use_pallas)")
+    p.add_argument("--stabilized", action="store_true",
+                   help="the framework's stable SAINT recipe (the default "
+                        "replicates the reference's diverging lr=0.1 schedule)")
     a = p.parse_args()
-    main(a.epochs, a.steps, train_ampconv=not a.gcn, fused=a.fused)
+    main(a.epochs, a.steps, train_ampconv=not a.gcn, fused=a.fused,
+         stabilized=a.stabilized)
