@@ -253,6 +253,156 @@ def _fused_kernel_vmem(
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _fused_kernel_vmem_v2(
+    ng_ref,        # SMEM [1, 1] int32: live edge-group count for this tile
+    senders_ref,   # SMEM [1, 1, EMAX] int32 global sender ids
+    recv_ref,      # SMEM [1, 1, EMAX] int32 local receiver row
+    valid_ref,     # SMEM [1, 1, EMAX] int32 0/1 (may carry RUNTIME masks)
+    q_ref,         # VMEM [TN*SP, D]
+    kv_ref,        # VMEM [N*SP, 2D] resident
+    out_ref,       # VMEM [TN*SP, D]
+    acc_ref,       # scratch VMEM [TN*SP, D] f32
+    qbuf_ref,      # scratch VMEM [G*SP, D]
+    kvbuf_ref,     # scratch VMEM [G*SP, 2D]
+    *,
+    s: int,
+    sp: int,
+    d: int,
+    num_heads: int,
+    group: int,
+    emax: int,
+    softmax: bool,
+):
+    """v2: the group loop runs a DYNAMIC per-tile trip count (ceil(live
+    edges / G) from SMEM), so
+
+      * fully-padded groups cost zero iterations (v1 paid a branch per
+        group and relied on edges being packed);
+      * any group size works (indices into the edge arrays are clamped to
+        EMAX-1; the validity factor zeroes the ragged tail), so G can be
+        chosen purely for MXU shape — G*SP <= 128 keeps each block-diag
+        matmul inside one MXU lane-group;
+      * edge validity is a pure multiplier, so a RUNTIME mask (adjacency
+        dropout) scattered into `valid` is honored — trip counts must
+        come from the STRUCTURAL layout, validity may be runtime.
+    """
+    g = group
+    dh = d // num_heads
+    scale = 1.0 / (dh ** 0.5)
+
+    acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    blk_row = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 0) // sp
+    blk_col = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 1) // sp
+    col_tok = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 1) % sp
+    block_mask = (blk_row == blk_col) & (col_tok < s)
+
+    def body(gi, _):
+        for j in range(g):
+            idx = jnp.minimum(gi * g + j, emax - 1)
+            ns = senders_ref[0, 0, idx]
+            r = recv_ref[0, 0, idx]
+            kvbuf_ref[pl.ds(j * sp, sp), :] = kv_ref[pl.ds(ns * sp, sp), :]
+            qbuf_ref[pl.ds(j * sp, sp), :] = q_ref[pl.ds(r * sp, sp), :]
+
+        kv = kvbuf_ref[:]
+        q = qbuf_ref[:]
+        dtype = q.dtype
+        out_blocks = []
+        for h in range(num_heads):
+            qh = q[:, h * dh : (h + 1) * dh] * jnp.asarray(scale, dtype)
+            kh = kv[:, h * dh : (h + 1) * dh]
+            vh = kv[:, d + h * dh : d + (h + 1) * dh]
+            scores = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            if softmax:
+                scores = jnp.where(block_mask, scores, -jnp.inf)
+                m = jnp.max(scores, axis=1, keepdims=True)
+                e = jnp.exp(scores - m)
+                w = e / jnp.sum(e, axis=1, keepdims=True)
+            else:
+                w = jnp.where(block_mask, scores, 0.0)
+            oh = jax.lax.dot_general(
+                w.astype(dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_blocks.append(oh)
+        msg = jnp.concatenate(out_blocks, axis=1)
+
+        for j in range(g):
+            idx = jnp.minimum(gi * g + j, emax - 1)
+            r = recv_ref[0, 0, idx]
+            # clamped duplicate slots re-read a live edge; the guard below
+            # zeroes them so they contribute nothing
+            dup = (gi * g + j) > idx
+            val = jnp.where(dup, 0, valid_ref[0, 0, idx]).astype(jnp.float32)
+            block = msg[j * sp : (j + 1) * sp, :] * val
+            cur = acc_ref[pl.ds(r * sp, sp), :]
+            acc_ref[pl.ds(r * sp, sp), :] = cur + block
+        return 0
+
+    jax.lax.fori_loop(0, ng_ref[0, 0], body, 0)
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret"),
+)
+def _fused_edge_sums_v2(
+    q_rows: jnp.ndarray,         # [NT*SP, D]
+    kv_rows: jnp.ndarray,        # [N*SP, 2D]
+    tile_senders: jnp.ndarray,   # [T, 1, EMAX] int32
+    tile_recv: jnp.ndarray,      # [T, 1, EMAX]
+    tile_valid: jnp.ndarray,     # [T, 1, EMAX] (structural & runtime)
+    tile_counts: jnp.ndarray,    # [T] int32 STRUCTURAL live-edge counts
+    *,
+    num_heads: int,
+    softmax: bool,
+    tile_nodes: int,
+    group: int,
+    num_tiles: int,
+    emax: int,
+    s: int,
+    interpret: bool = False,
+):
+    sp = q_rows.shape[0] // (num_tiles * tile_nodes)
+    d = q_rows.shape[1]
+    tn = tile_nodes
+    ngroups = ((tile_counts.astype(jnp.int32) + group - 1) // group).reshape(
+        num_tiles, 1
+    )
+    kernel = functools.partial(
+        _fused_kernel_vmem_v2,
+        s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
+        softmax=softmax,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda t: (t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tn * sp, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kv_rows.shape[0], 2 * d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn * sp, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_tiles * tn * sp, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tn * sp, d), jnp.float32),
+            pltpu.VMEM((group * sp, d), q_rows.dtype),
+            pltpu.VMEM((group * sp, 2 * d), kv_rows.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(ngroups, tile_senders, tile_recv, tile_valid, q_rows, kv_rows)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "gather", "interpret"),
@@ -356,15 +506,30 @@ def amp_edge_attention_pallas_core(
         q_rows = jnp.pad(q_rows, ((0, pad), (0, 0)))
         kv_rows = jnp.pad(kv_rows, ((0, pad), (0, 0)))
 
-    sums = _fused_edge_sums(
-        q_rows, kv_rows,
-        jnp.asarray(tcsr.senders)[:, None, :], jnp.asarray(tcsr.recv_local)[:, None, :],
-        jnp.asarray(tcsr.valid)[:, None, :],
-        num_heads=num_heads, softmax=softmax,
-        tile_nodes=tcsr.tile_nodes, group=8 if tcsr.edges_per_tile % 8 == 0 else 1,
-        num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
-        gather=gather, interpret=interpret,
-    )
+    if gather == "vmem":
+        counts = (jnp.asarray(tcsr.counts) if tcsr.counts is not None
+                  else _structural_counts(jnp.asarray(tcsr.valid)[:, None, :]))
+        sums = _fused_edge_sums_v2(
+            q_rows, kv_rows,
+            jnp.asarray(tcsr.senders)[:, None, :],
+            jnp.asarray(tcsr.recv_local)[:, None, :],
+            jnp.asarray(tcsr.valid)[:, None, :], counts,
+            num_heads=num_heads, softmax=softmax,
+            tile_nodes=tcsr.tile_nodes,
+            group=group if group else _auto_group(sp, tcsr.edges_per_tile, gather),
+            num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
+            interpret=interpret,
+        )
+    else:
+        sums = _fused_edge_sums(
+            q_rows, kv_rows,
+            jnp.asarray(tcsr.senders)[:, None, :], jnp.asarray(tcsr.recv_local)[:, None, :],
+            jnp.asarray(tcsr.valid)[:, None, :],
+            num_heads=num_heads, softmax=softmax,
+            tile_nodes=tcsr.tile_nodes, group=8 if tcsr.edges_per_tile % 8 == 0 else 1,
+            num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
+            gather=gather, interpret=interpret,
+        )
     sums = sums[: n * sp].reshape(n, sp, d)[:, :s, :]
     count = segment_count(receivers, n, edge_mask)
     mean = sums / jnp.maximum(count, 1.0)[:, None, None]
@@ -525,6 +690,20 @@ def _pallas_bwd_dynamic(
     )
 
 
+def _auto_group(sp: int, emax: int, gather: str) -> int:
+    """v2 ('vmem') groups are free to target MXU shape: the largest G with
+    G*SP <= 128 (one lane-group per block-diag matmul). The v1 DMA path
+    keeps its packed-group contract (G must divide EMAX)."""
+    if gather == "vmem":
+        return max(1, 128 // sp)
+    return 8 if emax % 8 == 0 else 1
+
+
+def _structural_counts(tile_valid: jnp.ndarray) -> jnp.ndarray:
+    """[T, 1, EMAX] validity -> [T] live-edge counts (packed layouts)."""
+    return jnp.sum((tile_valid != 0).astype(jnp.int32), axis=(1, 2))
+
+
 def _pallas_core_dynamic(
     x, params, tcsr, receivers, edge_mask, num_heads, softmax, gather,
     interpret, return_parts=False,
@@ -545,13 +724,23 @@ def _pallas_core_dynamic(
         pad = (n_tiles_nodes - n) * sp
         q_rows = jnp.pad(q_rows, ((0, pad), (0, 0)))
         kv_rows = jnp.pad(kv_rows, ((0, pad), (0, 0)))
-    group = 8 if tcsr.edges_per_tile % 8 == 0 else 1
-    sums = _fused_edge_sums(
-        q_rows, kv_rows, tcsr.senders, tcsr.recv_local, tcsr.valid,
-        num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
-        group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
-        gather=gather, interpret=interpret,
-    )
+    group = _auto_group(sp, tcsr.edges_per_tile, gather)
+    if gather == "vmem":
+        counts = (tcsr.counts if tcsr.counts is not None
+                  else _structural_counts(tcsr.valid))
+        sums = _fused_edge_sums_v2(
+            q_rows, kv_rows, tcsr.senders, tcsr.recv_local, tcsr.valid, counts,
+            num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
+            group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile,
+            s=s, interpret=interpret,
+        )
+    else:
+        sums = _fused_edge_sums(
+            q_rows, kv_rows, tcsr.senders, tcsr.recv_local, tcsr.valid,
+            num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
+            group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
+            gather=gather, interpret=interpret,
+        )
     sums = sums[: n * sp].reshape(n, sp, d)[:, :s, :]
     count = segment_count(receivers, n, edge_mask)
     mean = sums / jnp.maximum(count, 1.0)[:, None, None]
@@ -610,11 +799,11 @@ def fused_attention_aggregate(
     def op(q_tokens, kv_tokens):
         q_rows = to_rows(q_tokens, nt)
         kv_rows = to_rows(kv_tokens, n_all)
-        sums = _fused_edge_sums(
-            q_rows, kv_rows, ts3, tr3, tv3,
+        sums = _fused_edge_sums_v2(
+            q_rows, kv_rows, ts3, tr3, tv3, _structural_counts(tv3),
             num_heads=num_heads, softmax=softmax, tile_nodes=tile_nodes,
-            group=group, num_tiles=num_tiles, emax=emax, s=s,
-            gather="vmem", interpret=interpret,
+            group=_auto_group(sp, emax, "vmem"), num_tiles=num_tiles,
+            emax=emax, s=s, interpret=interpret,
         )
         return sums[: n_loc * sp].reshape(n_loc, sp, d)[:, :s, :]
 

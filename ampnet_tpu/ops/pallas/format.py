@@ -103,17 +103,24 @@ try:
         """Device-side tiled-CSR layout arrays — the data handed to the
         fused kernel (one executable across GraphSAINT subgraphs sharing a
         budget). tile_nodes is static metadata: the kernel grid geometry
-        must match the builder's."""
+        must match the builder's. tile_counts carries the STRUCTURAL
+        live-edge count per tile (the v2 kernel's dynamic trip counts);
+        edge_slot maps edge id -> flat layout slot for scattering runtime
+        edge masks (adjacency dropout) into tile_valid."""
 
         tile_senders: "np.ndarray"  # [T, EMAX] (jnp or np)
         tile_recv: "np.ndarray"
         tile_valid: "np.ndarray"
+        tile_counts: "np.ndarray" = None   # [T] int32
+        edge_slot: "np.ndarray" = None     # [E] int32 (-1 = masked out)
         tile_nodes: int = _struct.field(pytree_node=False, default=64)
 except ImportError:  # pragma: no cover
     class EdgeLayout(NamedTuple):
         tile_senders: "np.ndarray"
         tile_recv: "np.ndarray"
         tile_valid: "np.ndarray"
+        tile_counts: "np.ndarray" = None
+        edge_slot: "np.ndarray" = None
         tile_nodes: int = 64
 
 
@@ -137,5 +144,6 @@ def compute_layout(graph, tile_nodes: int = 64, edges_per_tile: int = 0) -> Edge
     )
     return EdgeLayout(
         jnp.asarray(tcsr.senders), jnp.asarray(tcsr.recv_local),
-        jnp.asarray(tcsr.valid), tile_nodes=tile_nodes,
+        jnp.asarray(tcsr.valid), tile_counts=jnp.asarray(tcsr.counts),
+        edge_slot=jnp.asarray(tcsr.edge_slot), tile_nodes=tile_nodes,
     )
