@@ -56,18 +56,19 @@ class AMPGCN(nn.Module):
         d = cfg.embedding_dim
         edge_mask = graph.edge_mask
 
-        # Edge dropout (dropout_adj, amp_gcn.py:241) — training only.
+        # Edge dropout (dropout_adj, amp_gcn.py:241) — training only. On
+        # the fused path the dropped mask is scattered into the layout's
+        # validity slots (AMPConv), so it is honored there too; only the
+        # legacy fused_fns closures (no slot map) cannot support it.
         if not deterministic and cfg.dropout_adj_rate > 0.0:
-            if edge_layout is not None or fused_fns is not None:
-                # The fused kernel reads edge validity from the host-built
-                # layout, not the runtime-dropped mask — silently keeping
-                # dropped edges would be wrong. (The headline reference
-                # configs run dropout_adj_rate=0.0,
-                # cora_benchmark_graphsaint.py:72.)
+            if fused_fns is not None or (
+                edge_layout is not None
+                and getattr(edge_layout, "edge_slot", None) is None
+            ):
                 raise ValueError(
-                    "dropout_adj_rate > 0 is not supported on the fused "
-                    "Pallas path; set dropout_adj_rate=0.0 or disable "
-                    "use_pallas"
+                    "dropout_adj_rate > 0 on the fused path requires an "
+                    "EdgeLayout with edge_slot (compute_layout builds one); "
+                    "legacy fused_fns closures read only structural validity"
                 )
             edge_mask = dropout_edges(
                 self.make_rng("edges"), edge_mask, cfg.dropout_adj_rate

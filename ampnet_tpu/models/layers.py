@@ -87,13 +87,29 @@ class AMPConv(nn.Module):
             if pallas_interpret is None:
                 pallas_interpret = jax.default_backend() != "tpu"
 
+            # Runtime edge validity: scatter the (possibly dropout-
+            # modified) edge mask into the layout's slots so the kernel
+            # honors it; trip counts stay STRUCTURAL (layout counts).
+            tile_valid = layout.tile_valid
+            tile_counts = getattr(layout, "tile_counts", None)
+            edge_slot = getattr(layout, "edge_slot", None)
+            if edge_mask is not None and edge_slot is not None:
+                t, emax = layout.tile_valid.shape
+                slot = jnp.where(edge_slot < 0, t * emax, edge_slot)
+                flat = jnp.zeros((t * emax + 1,), jnp.int32).at[slot].set(
+                    edge_mask.astype(jnp.int32)
+                )
+                tile_valid = flat[:-1].reshape(t, emax)
+                if tile_counts is None:
+                    tile_counts = jnp.sum(layout.tile_valid != 0, axis=-1)
+
             def fused_fn(xx, pp):
                 return amp_edge_attention_pallas(
                     xx, pp, senders, receivers, edge_mask,
-                    layout.tile_senders, layout.tile_recv, layout.tile_valid,
+                    layout.tile_senders, layout.tile_recv, tile_valid,
                     num_heads=self.num_heads, softmax=self.softmax,
                     tile_nodes=getattr(layout, "tile_nodes", 64),
-                    interpret=pallas_interpret,
+                    interpret=pallas_interpret, tile_counts=tile_counts,
                 )
 
         if fused_fn is not None:

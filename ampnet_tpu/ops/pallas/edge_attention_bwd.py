@@ -177,6 +177,151 @@ def _bwd_kernel_vmem(
     dq_out_ref[:] = dqacc_ref[:].astype(dq_out_ref.dtype)
 
 
+def _bwd_kernel_vmem_v2(
+    ng_ref,        # SMEM [1, 1] int32: live edge-group count for this tile
+    senders_ref,   # SMEM [1, 1, EMAX]
+    recv_ref,      # SMEM [1, 1, EMAX]
+    valid_ref,     # SMEM [1, 1, EMAX] (may carry runtime masks)
+    q_ref,         # VMEM [TN*SP, D]
+    kv_ref,        # VMEM [Nt*SP, 2D] resident
+    dsum_ref,      # VMEM [TN*SP, D]
+    dq_out_ref,    # VMEM [TN*SP, D]
+    dkv_stream,    # ANY  [T*EG*SP, 2D]; EG = ceil(EMAX/G)*G rows per tile
+    dqacc_ref,     # scratch VMEM [TN*SP, D] f32
+    qbuf_ref,      # scratch VMEM [G*SP, D]
+    kvbuf_ref,     # scratch VMEM [G*SP, 2D]
+    dmbuf_ref,     # scratch VMEM [G*SP, D]
+    dkvbuf_ref,    # scratch VMEM [2, G*SP, 2D] f32
+    sems,          # DMA sems (2,)
+    *,
+    s: int,
+    sp: int,
+    d: int,
+    num_heads: int,
+    group: int,
+    emax: int,
+    softmax: bool,
+):
+    """v2 backward: dynamic per-tile trip count (see _fused_kernel_vmem_v2).
+
+    The dkv stream is written per group at a GROUP-ALIGNED per-tile stride
+    EG = ceil(EMAX/G)*G so a ragged final group never crosses into the
+    next tile's rows; pass B masks the ragged slots via validity."""
+    g = group
+    dh = d // num_heads
+    scale = 1.0 / (dh ** 0.5)
+    eg = -(-emax // g) * g
+    t = pl.program_id(0)
+
+    dqacc_ref[:] = jnp.zeros(dqacc_ref.shape, dqacc_ref.dtype)
+
+    blk_row = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 0) // sp
+    blk_col = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 1) // sp
+    col_tok = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 1) % sp
+    block_mask = (blk_row == blk_col) & (col_tok < s)
+
+    def stream_dma(gi, slot):
+        row0 = (t * eg + gi * g) * sp
+        return pltpu.make_async_copy(
+            dkvbuf_ref.at[slot],
+            dkv_stream.at[pl.ds(row0, g * sp), :],
+            sems.at[slot],
+        )
+
+    def body(gi, _):
+        slot = jax.lax.rem(gi, 2)
+        for j in range(g):
+            idx = jnp.minimum(gi * g + j, emax - 1)
+            ns = senders_ref[0, 0, idx]
+            r = recv_ref[0, 0, idx]
+            dup = (gi * g + j) > idx
+            val = jnp.where(dup, 0, valid_ref[0, 0, idx]).astype(q_ref.dtype)
+            kvbuf_ref[pl.ds(j * sp, sp), :] = kv_ref[pl.ds(ns * sp, sp), :]
+            qbuf_ref[pl.ds(j * sp, sp), :] = q_ref[pl.ds(r * sp, sp), :]
+            # invalid/ragged edges contribute nothing: zero their dMsg rows
+            dmbuf_ref[pl.ds(j * sp, sp), :] = dsum_ref[pl.ds(r * sp, sp), :] * val
+
+        q = qbuf_ref[:]
+        kv = kvbuf_ref[:]
+        dm = dmbuf_ref[:]
+        dtype = q.dtype
+        dq_blocks, dk_blocks, dv_blocks = [], [], []
+        for h in range(num_heads):
+            qh = q[:, h * dh : (h + 1) * dh]
+            kh = kv[:, h * dh : (h + 1) * dh]
+            vh = kv[:, d + h * dh : d + (h + 1) * dh]
+            dmh = dm[:, h * dh : (h + 1) * dh]
+
+            scores = jax.lax.dot_general(
+                qh * jnp.asarray(scale, dtype), kh,
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            if softmax:
+                scores = jnp.where(block_mask, scores, -jnp.inf)
+                mx = jnp.max(scores, axis=1, keepdims=True)
+                ex = jnp.exp(scores - mx)
+                w = ex / jnp.sum(ex, axis=1, keepdims=True)
+            else:
+                w = jnp.where(block_mask, scores, 0.0)
+            wt = w.astype(dtype)
+
+            dv_h = jax.lax.dot_general(
+                wt, dmh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dwm = jax.lax.dot_general(
+                dmh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            if softmax:
+                tmp = dwm * w
+                ds = w * (dwm - jnp.sum(tmp, axis=1, keepdims=True))
+            else:
+                ds = jnp.where(block_mask, dwm, 0.0)
+            ds = ds.astype(dtype)
+            dq_h = jax.lax.dot_general(
+                ds, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            dk_h = jax.lax.dot_general(
+                ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            dq_blocks.append(dq_h)
+            dk_blocks.append(dk_h)
+            dv_blocks.append(dv_h)
+
+        dq_g = jnp.concatenate(dq_blocks, axis=1)
+        dkv_g = jnp.concatenate(dk_blocks + dv_blocks, axis=1)
+
+        @pl.when(gi >= 2)
+        def _():
+            stream_dma(gi - 2, slot).wait()
+        dkvbuf_ref[slot] = dkv_g
+        stream_dma(gi, slot).start()
+
+        for j in range(g):
+            idx = jnp.minimum(gi * g + j, emax - 1)
+            r = recv_ref[0, 0, idx]
+            dup = (gi * g + j) > idx
+            val = jnp.where(dup, 0, valid_ref[0, 0, idx]).astype(jnp.float32)
+            block = dq_g[j * sp : (j + 1) * sp, :] * val
+            cur = dqacc_ref[pl.ds(r * sp, sp), :]
+            dqacc_ref[pl.ds(r * sp, sp), :] = cur + block
+        return 0
+
+    ng = ng_ref[0, 0]
+    jax.lax.fori_loop(0, ng, body, 0)
+
+    # drain the last (up to 2) outstanding stream DMAs — trivial now that
+    # the trip count is explicit (v1 had to re-derive it from packing)
+    @pl.when(ng >= 1)
+    def _():
+        stream_dma(ng - 1, jax.lax.rem(ng - 1, 2)).wait()
+
+    @pl.when(ng >= 2)
+    def _():
+        stream_dma(ng - 2, jax.lax.rem(ng - 2, 2)).wait()
+
+    dq_out_ref[:] = dqacc_ref[:].astype(dq_out_ref.dtype)
+
+
 def _bwd_kernel_dma(
     senders_ref, recv_ref, valid_ref,
     q_ref,         # VMEM [TN*SP, D]
@@ -327,6 +472,94 @@ def _bwd_kernel_dma(
         stream_dma(nv - 2, jax.lax.rem(nv - 2, 2)).wait()
 
     dq_out_ref[:] = dqacc_ref[:].astype(dq_out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax",
+        "s", "interpret",
+    ),
+)
+def fused_edge_bwd_v2(
+    q_rows: jnp.ndarray,      # [Nt*SP, D]
+    kv_rows: jnp.ndarray,     # [Nt*SP, 2D]
+    dsum_rows: jnp.ndarray,   # [Nt*SP, D]
+    tile_senders: jnp.ndarray,  # [T, 1, EMAX]
+    tile_recv: jnp.ndarray,
+    tile_valid: jnp.ndarray,
+    tile_counts: jnp.ndarray,   # [T] STRUCTURAL live-edge counts
+    *,
+    num_heads: int,
+    softmax: bool,
+    tile_nodes: int,
+    group: int,
+    num_tiles: int,
+    emax: int,
+    s: int,
+    interpret: bool = False,
+):
+    """v2 (dynamic trip counts): returns (dq_rows [Nt*SP, D] f32,
+    dkv_stream [T*EG*SP, 2D] f32) with EG = ceil(EMAX/G)*G rows per tile.
+    Never-executed groups leave their stream rows UNWRITTEN — pass B must
+    mask by validity (padded to EG)."""
+    sp = q_rows.shape[0] // (num_tiles * tile_nodes)
+    d = q_rows.shape[1]
+    tn = tile_nodes
+    eg = -(-emax // group) * group
+    ngroups = ((tile_counts.astype(jnp.int32) + group - 1) // group).reshape(
+        num_tiles, 1
+    )
+    kernel = functools.partial(
+        _bwd_kernel_vmem_v2,
+        s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
+        softmax=softmax,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda t: (t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tn * sp, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (kv_rows.shape[0], 2 * d), lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((tn * sp, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tn * sp, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles * tn * sp, d), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles * eg * sp, 2 * d), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tn * sp, d), jnp.float32),
+            pltpu.VMEM((group * sp, d), q_rows.dtype),
+            pltpu.VMEM((group * sp, 2 * d), kv_rows.dtype),
+            pltpu.VMEM((group * sp, d), q_rows.dtype),
+            pltpu.VMEM((2, group * sp, 2 * d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(ngroups, tile_senders, tile_recv, tile_valid, q_rows, kv_rows, dsum_rows)
+
+
+def pad_flat_to_eg(arr2d: jnp.ndarray, emax: int, group: int) -> jnp.ndarray:
+    """[T, EMAX] layout array -> flat [T*EG] with zero/invalid padding in
+    the ragged tail (pass-B companion of fused_edge_bwd_v2's stream)."""
+    eg = -(-emax // group) * group
+    if eg == emax:
+        return arr2d.reshape(-1)
+    t = arr2d.shape[0]
+    return jnp.pad(arr2d, ((0, 0), (0, eg - emax))).reshape(t * eg)
 
 
 @functools.partial(

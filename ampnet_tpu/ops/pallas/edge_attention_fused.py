@@ -552,6 +552,9 @@ def amp_edge_attention_pallas(
     gather: str = "vmem",
     fused_bwd: bool = True,
     interpret: bool = False,
+    tile_counts: Optional[jnp.ndarray] = None,  # [T] STRUCTURAL counts —
+    # REQUIRED when tile_valid carries a runtime mask (edge dropout): trip
+    # counts must cover all structural slots even if some are dropped
 ) -> jnp.ndarray:
     """Jittable fused edge attention with a DYNAMIC tiled-CSR layout.
 
@@ -564,7 +567,7 @@ def amp_edge_attention_pallas(
     num_tiles, emax = tile_senders.shape
     tcsr_like = TiledCSR(
         tile_senders[:, None, :], tile_recv[:, None, :], tile_valid[:, None, :],
-        tile_nodes, num_tiles, emax,
+        tile_nodes, num_tiles, emax, counts=tile_counts,
     )
 
     @jax.custom_vjp
@@ -614,7 +617,11 @@ def _pallas_bwd_dynamic(
     """Full backward: out-proj/mean grads (XLA) -> pass A kernel
     (recompute + dQ/dK/dV) -> sender segment-sum + projection grads (XLA).
     See ops/pallas/edge_attention_bwd.py."""
-    from ampnet_tpu.ops.pallas.edge_attention_bwd import fused_edge_bwd
+    from ampnet_tpu.ops.pallas.edge_attention_bwd import (
+        fused_edge_bwd,
+        fused_edge_bwd_v2,
+        pad_flat_to_eg,
+    )
     from ampnet_tpu.ops.segment import segment_sum
 
     n, s, d = x.shape
@@ -635,16 +642,29 @@ def _pallas_bwd_dynamic(
         count = segment_count(receivers, n, edge_mask)
     m0 = (count > 0)[:, None, None]
     gm = jnp.where(m0, gout, 0.0)
-    group = 8 if tcsr.edges_per_tile % 8 == 0 else 1
+    vmem = gather == "vmem"
+    group = (_auto_group(sp, tcsr.edges_per_tile, gather) if vmem
+             else (8 if tcsr.edges_per_tile % 8 == 0 else 1))
+    counts = (tcsr.counts if getattr(tcsr, "counts", None) is not None
+              else _structural_counts(tcsr.valid))
 
     if sums is None:
         # no residuals available: recompute via one extra forward pass
-        sums_rows = _fused_edge_sums(
-            q_rows, kv_rows, tcsr.senders, tcsr.recv_local, tcsr.valid,
-            num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
-            group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
-            gather=gather, interpret=interpret,
-        )
+        if vmem:
+            sums_rows = _fused_edge_sums_v2(
+                q_rows, kv_rows, tcsr.senders, tcsr.recv_local, tcsr.valid,
+                counts,
+                num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
+                group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile,
+                s=s, interpret=interpret,
+            )
+        else:
+            sums_rows = _fused_edge_sums(
+                q_rows, kv_rows, tcsr.senders, tcsr.recv_local, tcsr.valid,
+                num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
+                group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
+                gather=gather, interpret=interpret,
+            )
         sums = sums_rows[: n * sp].reshape(n, sp, d)[:, :s, :]
     mean = sums / jnp.maximum(count, 1.0)[:, None, None]
 
@@ -660,21 +680,37 @@ def _pallas_bwd_dynamic(
     if nt > n:
         dsum_rows = jnp.pad(dsum_rows, ((0, (nt - n) * sp), (0, 0)))
 
-    dq_rows, dkv_stream = fused_edge_bwd(
-        q_rows, kv_rows, dsum_rows.astype(q_rows.dtype),
-        tcsr.senders, tcsr.recv_local, tcsr.valid,
-        num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
-        group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
-        gather=gather, interpret=interpret,
-    )
+    emax = tcsr.edges_per_tile
+    if vmem:
+        dq_rows, dkv_stream = fused_edge_bwd_v2(
+            q_rows, kv_rows, dsum_rows.astype(q_rows.dtype),
+            tcsr.senders, tcsr.recv_local, tcsr.valid, counts,
+            num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
+            group=group, num_tiles=tcsr.num_tiles, emax=emax, s=s,
+            interpret=interpret,
+        )
+        flat_senders = pad_flat_to_eg(tcsr.senders.reshape(tcsr.num_tiles, emax),
+                                      emax, group)
+        flat_valid = pad_flat_to_eg(tcsr.valid.reshape(tcsr.num_tiles, emax),
+                                    emax, group) != 0
+        eg = -(-emax // group) * group
+        stream = dkv_stream.reshape(tcsr.num_tiles * eg, sp, 2 * d)
+    else:
+        dq_rows, dkv_stream = fused_edge_bwd(
+            q_rows, kv_rows, dsum_rows.astype(q_rows.dtype),
+            tcsr.senders, tcsr.recv_local, tcsr.valid,
+            num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
+            group=group, num_tiles=tcsr.num_tiles, emax=emax, s=s,
+            gather=gather, interpret=interpret,
+        )
+        flat_senders = tcsr.senders.reshape(-1)            # [T*EMAX]
+        flat_valid = tcsr.valid.reshape(-1) != 0
+        stream = dkv_stream.reshape(tcsr.num_tiles * emax, sp, 2 * d)
     dq_nodes = dq_rows[: n * sp].reshape(n, sp, d)[:, :s, :]
 
     # pass B: scatter dK|dV to sender nodes via masked segment-sum over the
-    # layout's flattened sender ids (skipped padded groups never wrote
-    # their stream rows — the validity mask excludes them)
-    flat_senders = tcsr.senders.reshape(-1)            # [T*EMAX]
-    flat_valid = tcsr.valid.reshape(-1) != 0
-    stream = dkv_stream.reshape(tcsr.num_tiles * tcsr.edges_per_tile, sp, 2 * d)
+    # layout's flattened sender ids (never-written rows of skipped padded
+    # groups are excluded by the validity mask)
     dkv_nodes = segment_sum(stream, flat_senders, nt, flat_valid)
     dkv_nodes = dkv_nodes[:n, :s, :]                   # [N, S, 2D]
 
@@ -813,23 +849,29 @@ def fused_attention_aggregate(
         return op(q_tokens, kv_tokens), (q_tokens, kv_tokens, ts3, tr3, tv3)
 
     def bwd(res, g):
-        from ampnet_tpu.ops.pallas.edge_attention_bwd import fused_edge_bwd
+        from ampnet_tpu.ops.pallas.edge_attention_bwd import (
+            fused_edge_bwd_v2,
+            pad_flat_to_eg,
+        )
         from ampnet_tpu.ops.segment import segment_sum
 
         q_tokens_, kv_tokens_, ts3_, tr3_, tv3_ = res
+        gv2 = _auto_group(sp, emax, "vmem")
         q_rows = to_rows(q_tokens_, nt)
         kv_rows = to_rows(kv_tokens_, n_all)
         dsum_rows = to_rows(g.astype(q_rows.dtype), nt)
-        dq_rows, dkv_stream = fused_edge_bwd(
+        dq_rows, dkv_stream = fused_edge_bwd_v2(
             q_rows, kv_rows, dsum_rows, ts3_, tr3_, tv3_,
+            _structural_counts(tv3_),
             num_heads=num_heads, softmax=softmax, tile_nodes=tile_nodes,
-            group=group, num_tiles=num_tiles, emax=emax, s=s,
+            group=gv2, num_tiles=num_tiles, emax=emax, s=s,
             interpret=interpret,
         )
         dq = dq_rows[: n_loc * sp].reshape(n_loc, sp, d)[:, :s, :]
-        flat_senders = ts3_.reshape(-1)
-        flat_valid = tv3_.reshape(-1) != 0
-        stream = dkv_stream.reshape(num_tiles * emax, sp, 2 * d)
+        flat_senders = pad_flat_to_eg(ts3_.reshape(num_tiles, emax), emax, gv2)
+        flat_valid = pad_flat_to_eg(tv3_.reshape(num_tiles, emax), emax, gv2) != 0
+        eg = -(-emax // gv2) * gv2
+        stream = dkv_stream.reshape(num_tiles * eg, sp, 2 * d)
         dkv = segment_sum(stream, flat_senders, n_all, flat_valid)[:, :s, :]
         return dq.astype(q_tokens_.dtype), dkv.astype(kv_tokens_.dtype)
 
