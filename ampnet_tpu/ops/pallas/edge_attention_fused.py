@@ -887,7 +887,7 @@ def make_pallas_edge_attention(
     num_heads: int,
     softmax: bool = True,
     tile_nodes: int = 64,
-    group: int = 8,
+    group: int = 0,   # 0 = auto (v2: largest G with G*SP <= 128)
     gather: str = "vmem",
     interpret: bool = False,
 ):
@@ -898,7 +898,8 @@ def make_pallas_edge_attention(
     backward pass recomputes gradients through the XLA reference path.
     """
     tcsr = build_tiled_csr(
-        senders, receivers, edge_mask, num_nodes_padded, tile_nodes, group
+        senders, receivers, edge_mask, num_nodes_padded, tile_nodes,
+        max(group, 1),  # v2 needs no group|EMAX divisibility; keep EMAX%128==0
     )
     receivers_j = jnp.asarray(receivers)
     mask_j = None if edge_mask is None else jnp.asarray(edge_mask)

@@ -99,12 +99,14 @@ def time_fn(fn, x, *args, k1=2, k2=12, iters=None, warmup=None):
         out = fn(x, *args)
         return x * 0.99 + out.astype(x.dtype) * 0.01
 
-    @functools.partial(jax.jit, static_argnames=("k",))
+    @jax.jit
     def run(x, k):
+        # k is TRACED: one compile serves every iteration count (compiles
+        # through the TPU relay are expensive — minutes per program)
         return jax.lax.fori_loop(0, k, body, x)
 
     for k in (k1, k2):
-        jax.block_until_ready(run(x, k))  # compile both variants
+        jax.block_until_ready(run(x, k))  # compile once + warm both counts
     t0 = time.perf_counter()
     jax.block_until_ready(run(x, k1))
     t1 = time.perf_counter()
