@@ -178,7 +178,7 @@ def _bwd_kernel_vmem(
 
 
 def _bwd_kernel_vmem_v2(
-    ng_ref,        # SMEM [1, 1] int32: live edge-group count for this tile
+    ng_ref,        # SMEM [1, T] int32: live edge-group counts (all tiles)
     senders_ref,   # SMEM [1, 1, EMAX]
     recv_ref,      # SMEM [1, 1, EMAX]
     valid_ref,     # SMEM [1, 1, EMAX] (may carry runtime masks)
@@ -306,7 +306,7 @@ def _bwd_kernel_vmem_v2(
             dqacc_ref[pl.ds(r * sp, sp), :] = cur + block
         return 0
 
-    ng = ng_ref[0, 0]
+    ng = ng_ref[0, pl.program_id(0)]
     jax.lax.fori_loop(0, ng, body, 0)
 
     # drain the last (up to 2) outstanding stream DMAs — trivial now that
@@ -508,7 +508,7 @@ def fused_edge_bwd_v2(
     tn = tile_nodes
     eg = -(-emax // group) * group
     ngroups = ((tile_counts.astype(jnp.int32) + group - 1) // group).reshape(
-        num_tiles, 1
+        1, num_tiles
     )
     kernel = functools.partial(
         _bwd_kernel_vmem_v2,
@@ -519,7 +519,7 @@ def fused_edge_bwd_v2(
         kernel,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda t: (t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, num_tiles), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),

@@ -254,7 +254,9 @@ def _fused_kernel_vmem(
 
 
 def _fused_kernel_vmem_v2(
-    ng_ref,        # SMEM [1, 1] int32: live edge-group count for this tile
+    ng_ref,        # SMEM [1, T] int32: live edge-group counts (ALL tiles;
+    #                a (1,1) blocked scalar violates Mosaic's SMEM block
+    #                rules — index by program_id instead)
     senders_ref,   # SMEM [1, 1, EMAX] int32 global sender ids
     recv_ref,      # SMEM [1, 1, EMAX] int32 local receiver row
     valid_ref,     # SMEM [1, 1, EMAX] int32 0/1 (may carry RUNTIME masks)
@@ -342,7 +344,7 @@ def _fused_kernel_vmem_v2(
             acc_ref[pl.ds(r * sp, sp), :] = cur + block
         return 0
 
-    jax.lax.fori_loop(0, ng_ref[0, 0], body, 0)
+    jax.lax.fori_loop(0, ng_ref[0, pl.program_id(0)], body, 0)
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
@@ -371,7 +373,7 @@ def _fused_edge_sums_v2(
     d = q_rows.shape[1]
     tn = tile_nodes
     ngroups = ((tile_counts.astype(jnp.int32) + group - 1) // group).reshape(
-        num_tiles, 1
+        1, num_tiles
     )
     kernel = functools.partial(
         _fused_kernel_vmem_v2,
@@ -382,7 +384,7 @@ def _fused_edge_sums_v2(
         kernel,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda t: (t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, num_tiles), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
