@@ -729,11 +729,14 @@ def _pallas_bwd_dynamic(
 
 
 def _auto_group(sp: int, emax: int, gather: str) -> int:
-    """v2 ('vmem') groups are free to target MXU shape: the largest G with
-    G*SP <= 128 (one lane-group per block-diag matmul). The v1 DMA path
-    keeps its packed-group contract (G must divide EMAX)."""
+    """v2 ('vmem') groups are free of the divisibility constraint; the
+    measured optimum at Cora scale is G*SP ~= 192 (kernel_bench2 r2:
+    g=8 2.42 ms, g=10 2.43, g=5 3.71, g=4 3.01, g=2 5.21 — per-group
+    fixed overhead dominates, while block-diag softmax cost grows
+    quadratically past ~256 wide). The v1 DMA path keeps its packed-group
+    contract (G must divide EMAX)."""
     if gather == "vmem":
-        return max(1, 128 // sp)
+        return max(1, 192 // sp)
     return 8 if emax % 8 == 0 else 1
 
 

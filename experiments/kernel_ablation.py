@@ -158,7 +158,7 @@ def build(e=10556, n=2708, s=20, d=128, tile_nodes=64, group=8, seed=0):
 def timeit(inp, repeats=3, **kw):
     fn = lambda q: run_variant(
         q, inp["kv_rows"], inp["ts"], inp["tr"], inp["tv"], inp["tc"],
-        num_heads=4, tile_nodes=inp["tile_nodes"], group=kw.pop("group", 5),
+        num_heads=4, tile_nodes=inp["tile_nodes"], group=kw.pop("group", 8),
         num_tiles=inp["num_tiles"], emax=inp["emax"], s=inp["s"], **kw)
     ts = [time_fn(fn, inp["q_rows"], k1=4, k2=44) for _ in range(repeats)]
     return float(np.median(ts))
@@ -180,7 +180,7 @@ def main():
         results[name] = {"ms": round(t * 1e3, 3), "ns_per_edge": round(per_edge, 1)}
         print(f"{name:35s} {t*1e3:8.3f} ms   {per_edge:7.1f} ns/edge", flush=True)
 
-    rec("baseline (G=5 v2)", timeit(inp))
+    rec("baseline (G=8 v2)", timeit(inp))
     rec("no softmax", timeit(inp, softmax=False))
     rec("no attn matmuls", timeit(inp, attn=False))
     rec("no kv gather", timeit(inp, kv_gather=False))
