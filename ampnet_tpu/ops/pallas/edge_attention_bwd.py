@@ -201,6 +201,7 @@ def _bwd_kernel_vmem_v2(
     group: int,
     emax: int,
     softmax: bool,
+    compact: bool = True,
 ):
     """v2 backward: dynamic per-tile trip count (see _fused_kernel_vmem_v2).
 
@@ -215,10 +216,11 @@ def _bwd_kernel_vmem_v2(
 
     dqacc_ref[:] = jnp.zeros(dqacc_ref.shape, dqacc_ref.dtype)
 
-    blk_row = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 0) // sp
-    blk_col = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 1) // sp
-    col_tok = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 1) % sp
-    block_mask = (blk_row == blk_col) & (col_tok < s)
+    if not compact:
+        blk_row = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 0) // sp
+        blk_col = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 1) // sp
+        col_tok = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 1) % sp
+        block_mask = (blk_row == blk_col) & (col_tok < s)
 
     def stream_dma(gi, slot):
         row0 = (t * eg + gi * g) * sp
@@ -241,54 +243,110 @@ def _bwd_kernel_vmem_v2(
             # invalid/ragged edges contribute nothing: zero their dMsg rows
             dmbuf_ref[pl.ds(j * sp, sp), :] = dsum_ref[pl.ds(r * sp, sp), :] * val
 
-        q = qbuf_ref[:]
-        kv = kvbuf_ref[:]
-        dm = dmbuf_ref[:]
-        dtype = q.dtype
-        dq_blocks, dk_blocks, dv_blocks = [], [], []
-        for h in range(num_heads):
-            qh = q[:, h * dh : (h + 1) * dh]
-            kh = kv[:, h * dh : (h + 1) * dh]
-            vh = kv[:, d + h * dh : d + (h + 1) * dh]
-            dmh = dm[:, h * dh : (h + 1) * dh]
-
-            scores = jax.lax.dot_general(
-                qh * jnp.asarray(scale, dtype), kh,
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        dtype = qbuf_ref.dtype
+        if compact:
+            # batched (3-D) dots keep every tensor [G, SP, *] — linear in
+            # G (see _fused_kernel_vmem_v2's compact branch)
+            q3 = qbuf_ref[:].reshape(g, sp, d)
+            kv3 = kvbuf_ref[:].reshape(g, sp, 2 * d)
+            dm3 = dmbuf_ref[:].reshape(g, sp, d)
+            col_tok3 = jax.lax.broadcasted_iota(jnp.int32, (g, sp, sp), 2)
+            kmask = col_tok3 < s
+            dq_heads, dk_heads, dv_heads = [], [], []
+            for h in range(num_heads):
+                qh = q3[:, :, h * dh : (h + 1) * dh]
+                kh = kv3[:, :, h * dh : (h + 1) * dh]
+                vh = kv3[:, :, d + h * dh : d + (h + 1) * dh]
+                dmh = dm3[:, :, h * dh : (h + 1) * dh]
+                scores = jax.lax.dot_general(
+                    qh * jnp.asarray(scale, dtype), kh,
+                    (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+                )  # [G, SPq, SPk]
+                if softmax:
+                    scores = jnp.where(kmask, scores, -jnp.inf)
+                    mx = jnp.max(scores, axis=2, keepdims=True)
+                    ex = jnp.exp(scores - mx)
+                    w = ex / jnp.sum(ex, axis=2, keepdims=True)
+                else:
+                    w = jnp.where(kmask, scores, 0.0)
+                wt = w.astype(dtype)
+                dv_h = jax.lax.dot_general(
+                    wt, dmh, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [G, SPk, dh]
+                dwm = jax.lax.dot_general(
+                    dmh, vh, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [G, SPq, SPk]
+                if softmax:
+                    tmp = dwm * w
+                    ds = w * (dwm - jnp.sum(tmp, axis=2, keepdims=True))
+                else:
+                    ds = jnp.where(kmask, dwm, 0.0)
+                ds = ds.astype(dtype)
+                dq_h = jax.lax.dot_general(
+                    ds, kh, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * scale  # [G, SPq, dh]
+                dk_h = jax.lax.dot_general(
+                    ds, qh, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * scale  # [G, SPk, dh]
+                dq_heads.append(dq_h)
+                dk_heads.append(dk_h)
+                dv_heads.append(dv_h)
+            dq_g = jnp.concatenate(dq_heads, axis=2).reshape(g * sp, d)
+            dkv_g = jnp.concatenate(dk_heads + dv_heads, axis=2).reshape(
+                g * sp, 2 * d
             )
-            if softmax:
-                scores = jnp.where(block_mask, scores, -jnp.inf)
-                mx = jnp.max(scores, axis=1, keepdims=True)
-                ex = jnp.exp(scores - mx)
-                w = ex / jnp.sum(ex, axis=1, keepdims=True)
-            else:
-                w = jnp.where(block_mask, scores, 0.0)
-            wt = w.astype(dtype)
+        else:
+            q = qbuf_ref[:]
+            kv = kvbuf_ref[:]
+            dm = dmbuf_ref[:]
+            dq_blocks, dk_blocks, dv_blocks = [], [], []
+            for h in range(num_heads):
+                qh = q[:, h * dh : (h + 1) * dh]
+                kh = kv[:, h * dh : (h + 1) * dh]
+                vh = kv[:, d + h * dh : d + (h + 1) * dh]
+                dmh = dm[:, h * dh : (h + 1) * dh]
 
-            dv_h = jax.lax.dot_general(
-                wt, dmh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            dwm = jax.lax.dot_general(
-                dmh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            if softmax:
-                tmp = dwm * w
-                ds = w * (dwm - jnp.sum(tmp, axis=1, keepdims=True))
-            else:
-                ds = jnp.where(block_mask, dwm, 0.0)
-            ds = ds.astype(dtype)
-            dq_h = jax.lax.dot_general(
-                ds, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale
-            dk_h = jax.lax.dot_general(
-                ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale
-            dq_blocks.append(dq_h)
-            dk_blocks.append(dk_h)
-            dv_blocks.append(dv_h)
+                scores = jax.lax.dot_general(
+                    qh * jnp.asarray(scale, dtype), kh,
+                    (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                )
+                if softmax:
+                    scores = jnp.where(block_mask, scores, -jnp.inf)
+                    mx = jnp.max(scores, axis=1, keepdims=True)
+                    ex = jnp.exp(scores - mx)
+                    w = ex / jnp.sum(ex, axis=1, keepdims=True)
+                else:
+                    w = jnp.where(block_mask, scores, 0.0)
+                wt = w.astype(dtype)
 
-        dq_g = jnp.concatenate(dq_blocks, axis=1)
-        dkv_g = jnp.concatenate(dk_blocks + dv_blocks, axis=1)
+                dv_h = jax.lax.dot_general(
+                    wt, dmh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                dwm = jax.lax.dot_general(
+                    dmh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                if softmax:
+                    tmp = dwm * w
+                    ds = w * (dwm - jnp.sum(tmp, axis=1, keepdims=True))
+                else:
+                    ds = jnp.where(block_mask, dwm, 0.0)
+                ds = ds.astype(dtype)
+                dq_h = jax.lax.dot_general(
+                    ds, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                ) * scale
+                dk_h = jax.lax.dot_general(
+                    ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                ) * scale
+                dq_blocks.append(dq_h)
+                dk_blocks.append(dk_h)
+                dv_blocks.append(dv_h)
+
+            dq_g = jnp.concatenate(dq_blocks, axis=1)
+            dkv_g = jnp.concatenate(dk_blocks + dv_blocks, axis=1)
 
         @pl.when(gi >= 2)
         def _():
@@ -478,7 +536,7 @@ def _bwd_kernel_dma(
     jax.jit,
     static_argnames=(
         "num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax",
-        "s", "interpret",
+        "s", "interpret", "compact",
     ),
 )
 def fused_edge_bwd_v2(
@@ -498,6 +556,7 @@ def fused_edge_bwd_v2(
     emax: int,
     s: int,
     interpret: bool = False,
+    compact: bool = True,
 ):
     """v2 (dynamic trip counts): returns (dq_rows [Nt*SP, D] f32,
     dkv_stream [T*EG*SP, 2D] f32) with EG = ceil(EMAX/G)*G rows per tile.
@@ -513,7 +572,7 @@ def fused_edge_bwd_v2(
     kernel = functools.partial(
         _bwd_kernel_vmem_v2,
         s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
-        softmax=softmax,
+        softmax=softmax, compact=compact,
     )
     return pl.pallas_call(
         kernel,

@@ -274,6 +274,7 @@ def _fused_kernel_vmem_v2(
     group: int,
     emax: int,
     softmax: bool,
+    compact: bool = True,
 ):
     """v2: the group loop runs a DYNAMIC per-tile trip count (ceil(live
     edges / G) from SMEM), so
@@ -294,10 +295,11 @@ def _fused_kernel_vmem_v2(
 
     acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
-    blk_row = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 0) // sp
-    blk_col = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 1) // sp
-    col_tok = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 1) % sp
-    block_mask = (blk_row == blk_col) & (col_tok < s)
+    if not compact:
+        blk_row = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 0) // sp
+        blk_col = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 1) // sp
+        col_tok = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 1) % sp
+        block_mask = (blk_row == blk_col) & (col_tok < s)
 
     def body(gi, _):
         for j in range(g):
@@ -307,30 +309,64 @@ def _fused_kernel_vmem_v2(
             kvbuf_ref[pl.ds(j * sp, sp), :] = kv_ref[pl.ds(ns * sp, sp), :]
             qbuf_ref[pl.ds(j * sp, sp), :] = q_ref[pl.ds(r * sp, sp), :]
 
-        kv = kvbuf_ref[:]
-        q = qbuf_ref[:]
-        dtype = q.dtype
-        out_blocks = []
-        for h in range(num_heads):
-            qh = q[:, h * dh : (h + 1) * dh] * jnp.asarray(scale, dtype)
-            kh = kv[:, h * dh : (h + 1) * dh]
-            vh = kv[:, d + h * dh : d + (h + 1) * dh]
-            scores = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            if softmax:
-                scores = jnp.where(block_mask, scores, -jnp.inf)
-                m = jnp.max(scores, axis=1, keepdims=True)
-                e = jnp.exp(scores - m)
-                w = e / jnp.sum(e, axis=1, keepdims=True)
-            else:
-                w = jnp.where(block_mask, scores, 0.0)
-            oh = jax.lax.dot_general(
-                w.astype(dtype), vh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            out_blocks.append(oh)
-        msg = jnp.concatenate(out_blocks, axis=1)
+        dtype = qbuf_ref.dtype
+        if compact:
+            # COMPACT per-edge attention: Mosaic lowers batched (3-D)
+            # dot_general, so scores/softmax stay [G, SP, SP] — LINEAR in
+            # G. The block-diagonal formulation below pays (G*SP)^2 in
+            # scores + mask + exp, which the r2 ablation measured at 86%
+            # of kernel time (softmax 47%, matmuls 39%) with 7/8 waste at
+            # G=8.
+            kv3 = kvbuf_ref[:].reshape(g, sp, 2 * d)
+            q3 = qbuf_ref[:].reshape(g, sp, d)
+            col_tok = jax.lax.broadcasted_iota(jnp.int32, (g, sp, sp), 2)
+            kmask = col_tok < s
+            out_heads = []
+            for h in range(num_heads):
+                qh = q3[:, :, h * dh : (h + 1) * dh] * jnp.asarray(scale, dtype)
+                kh = kv3[:, :, h * dh : (h + 1) * dh]
+                vh = kv3[:, :, d + h * dh : d + (h + 1) * dh]
+                scores = jax.lax.dot_general(
+                    qh, kh, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [G, SP, SP]
+                if softmax:
+                    scores = jnp.where(kmask, scores, -jnp.inf)
+                    m = jnp.max(scores, axis=2, keepdims=True)
+                    e = jnp.exp(scores - m)
+                    w = e / jnp.sum(e, axis=2, keepdims=True)
+                else:
+                    w = jnp.where(kmask, scores, 0.0)
+                oh = jax.lax.dot_general(
+                    w.astype(dtype), vh, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [G, SP, dh]
+                out_heads.append(oh)
+            msg = jnp.concatenate(out_heads, axis=2).reshape(g * sp, d)
+        else:
+            kv = kvbuf_ref[:]
+            q = qbuf_ref[:]
+            out_blocks = []
+            for h in range(num_heads):
+                qh = q[:, h * dh : (h + 1) * dh] * jnp.asarray(scale, dtype)
+                kh = kv[:, h * dh : (h + 1) * dh]
+                vh = kv[:, d + h * dh : d + (h + 1) * dh]
+                scores = jax.lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                if softmax:
+                    scores = jnp.where(block_mask, scores, -jnp.inf)
+                    m = jnp.max(scores, axis=1, keepdims=True)
+                    e = jnp.exp(scores - m)
+                    w = e / jnp.sum(e, axis=1, keepdims=True)
+                else:
+                    w = jnp.where(block_mask, scores, 0.0)
+                oh = jax.lax.dot_general(
+                    w.astype(dtype), vh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                out_blocks.append(oh)
+            msg = jnp.concatenate(out_blocks, axis=1)
 
         for j in range(g):
             idx = jnp.minimum(gi * g + j, emax - 1)
@@ -350,7 +386,7 @@ def _fused_kernel_vmem_v2(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret"),
+    static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret", "compact"),
 )
 def _fused_edge_sums_v2(
     q_rows: jnp.ndarray,         # [NT*SP, D]
@@ -368,6 +404,7 @@ def _fused_edge_sums_v2(
     emax: int,
     s: int,
     interpret: bool = False,
+    compact: bool = True,
 ):
     sp = q_rows.shape[0] // (num_tiles * tile_nodes)
     d = q_rows.shape[1]
@@ -378,7 +415,7 @@ def _fused_edge_sums_v2(
     kernel = functools.partial(
         _fused_kernel_vmem_v2,
         s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
-        softmax=softmax,
+        softmax=softmax, compact=compact,
     )
     return pl.pallas_call(
         kernel,
