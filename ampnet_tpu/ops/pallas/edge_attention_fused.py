@@ -767,13 +767,14 @@ def _pallas_bwd_dynamic(
 
 def _auto_group(sp: int, emax: int, gather: str) -> int:
     """v2 ('vmem') groups are free of the divisibility constraint; the
-    measured optimum at Cora scale is G*SP ~= 192 (kernel_bench2 r2:
-    g=8 2.42 ms, g=10 2.43, g=5 3.71, g=4 3.01, g=2 5.21 — per-group
-    fixed overhead dominates, while block-diag softmax cost grows
-    quadratically past ~256 wide). The v1 DMA path keeps its packed-group
-    contract (G must divide EMAX)."""
+    COMPACT (batched-dot) bodies keep softmax/score tensors linear in G,
+    so bigger groups amortize per-group overhead with no quadratic
+    penalty; the measured optimum at Cora scale is G*SP ~= 768
+    (kernel_probe3/3b r2: g=32 1.43 ms, g=64 1.64, g=16 1.74, g=8 2.53 —
+    vs the block-diag bodies' best of 2.29 ms at g=8). The v1 DMA path
+    keeps its packed-group contract (G must divide EMAX)."""
     if gather == "vmem":
-        return max(1, 192 // sp)
+        return max(1, 768 // sp)
     return 8 if emax % 8 == 0 else 1
 
 
