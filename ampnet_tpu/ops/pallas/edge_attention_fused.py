@@ -384,9 +384,127 @@ def _fused_kernel_vmem_v2(
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _fused_kernel_vmem_v4(
+    ng_ref,        # SMEM [1, T] int32 live edge-group counts
+    senders_ref,   # SMEM [1, 1, EMAX]
+    recv_ref,      # SMEM [1, 1, EMAX]
+    valid_ref,     # SMEM [1, 1, EMAX]
+    q_ref,         # VMEM [TN*SP, D]
+    kv_ref,        # VMEM [N*SP, 2D] resident
+    out_ref,       # VMEM [TN*SP, D]
+    acc_ref,       # scratch VMEM [TN*SP, D] f32
+    qbuf_ref,      # scratch VMEM [2, G*SP, D]
+    kvbuf_ref,     # scratch VMEM [2, G*SP, 2D]
+    ksems,         # DMA sems (2, G)
+    qsems,         # DMA sems (2, G)
+    *,
+    s: int,
+    sp: int,
+    d: int,
+    num_heads: int,
+    group: int,
+    emax: int,
+    softmax: bool,
+):
+    """v4 = v3 compact attention + DOUBLE-BUFFERED ASYNC gathers: the
+    per-edge K|V and Q row copies for group gi+1 run as async DMAs while
+    group gi computes, hiding the gather floor (r2 ablation: ~45% of v3
+    time) under the batched-dot attention."""
+    g = group
+    dh = d // num_heads
+    scale = 1.0 / (dh ** 0.5)
+
+    def edge_copies(gi, slot, j):
+        idx = jnp.minimum(gi * g + j, emax - 1)
+        ns = senders_ref[0, 0, idx]
+        r = recv_ref[0, 0, idx]
+        kc = pltpu.make_async_copy(
+            kv_ref.at[pl.ds(ns * sp, sp), :],
+            kvbuf_ref.at[slot, pl.ds(j * sp, sp), :],
+            ksems.at[slot, j],
+        )
+        qc = pltpu.make_async_copy(
+            q_ref.at[pl.ds(r * sp, sp), :],
+            qbuf_ref.at[slot, pl.ds(j * sp, sp), :],
+            qsems.at[slot, j],
+        )
+        return kc, qc
+
+    def start_group(gi, slot):
+        for j in range(g):
+            kc, qc = edge_copies(gi, slot, j)
+            kc.start()
+            qc.start()
+
+    def wait_group(gi, slot):
+        for j in range(g):
+            kc, qc = edge_copies(gi, slot, j)
+            kc.wait()
+            qc.wait()
+
+    acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+    ng = ng_ref[0, pl.program_id(0)]
+
+    @pl.when(ng > 0)
+    def _():
+        start_group(0, 0)
+
+    col_tok = jax.lax.broadcasted_iota(jnp.int32, (g, sp, sp), 2)
+    kmask = col_tok < s
+
+    def body(gi, _):
+        slot = jax.lax.rem(gi, 2)
+        nxt = jax.lax.rem(gi + 1, 2)
+
+        @pl.when(gi + 1 < ng)
+        def _():
+            start_group(gi + 1, nxt)
+
+        wait_group(gi, slot)
+
+        kv3 = kvbuf_ref[slot].reshape(g, sp, 2 * d)
+        q3 = qbuf_ref[slot].reshape(g, sp, d)
+        dtype = q3.dtype
+        out_heads = []
+        for h in range(num_heads):
+            qh = q3[:, :, h * dh : (h + 1) * dh] * jnp.asarray(scale, dtype)
+            kh = kv3[:, :, h * dh : (h + 1) * dh]
+            vh = kv3[:, :, d + h * dh : d + (h + 1) * dh]
+            scores = jax.lax.dot_general(
+                qh, kh, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            if softmax:
+                scores = jnp.where(kmask, scores, -jnp.inf)
+                m = jnp.max(scores, axis=2, keepdims=True)
+                e = jnp.exp(scores - m)
+                w = e / jnp.sum(e, axis=2, keepdims=True)
+            else:
+                w = jnp.where(kmask, scores, 0.0)
+            oh = jax.lax.dot_general(
+                w.astype(dtype), vh, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            out_heads.append(oh)
+        msg = jnp.concatenate(out_heads, axis=2).reshape(g * sp, d)
+
+        for j in range(g):
+            idx = jnp.minimum(gi * g + j, emax - 1)
+            r = recv_ref[0, 0, idx]
+            dup = (gi * g + j) > idx
+            val = jnp.where(dup, 0, valid_ref[0, 0, idx]).astype(jnp.float32)
+            block = msg[j * sp : (j + 1) * sp, :] * val
+            cur = acc_ref[pl.ds(r * sp, sp), :]
+            acc_ref[pl.ds(r * sp, sp), :] = cur + block
+        return 0
+
+    jax.lax.fori_loop(0, ng, body, 0)
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret", "compact"),
+    static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret", "compact", "overlap"),
 )
 def _fused_edge_sums_v2(
     q_rows: jnp.ndarray,         # [NT*SP, D]
@@ -405,6 +523,7 @@ def _fused_edge_sums_v2(
     s: int,
     interpret: bool = False,
     compact: bool = True,
+    overlap: bool = False,
 ):
     sp = q_rows.shape[0] // (num_tiles * tile_nodes)
     d = q_rows.shape[1]
@@ -412,11 +531,30 @@ def _fused_edge_sums_v2(
     ngroups = ((tile_counts.astype(jnp.int32) + group - 1) // group).reshape(
         1, num_tiles
     )
-    kernel = functools.partial(
-        _fused_kernel_vmem_v2,
-        s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
-        softmax=softmax, compact=compact,
-    )
+    if overlap:
+        kernel = functools.partial(
+            _fused_kernel_vmem_v4,
+            s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
+            softmax=softmax,
+        )
+        scratch = [
+            pltpu.VMEM((tn * sp, d), jnp.float32),
+            pltpu.VMEM((2, group * sp, d), q_rows.dtype),
+            pltpu.VMEM((2, group * sp, 2 * d), kv_rows.dtype),
+            pltpu.SemaphoreType.DMA((2, group)),
+            pltpu.SemaphoreType.DMA((2, group)),
+        ]
+    else:
+        kernel = functools.partial(
+            _fused_kernel_vmem_v2,
+            s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
+            softmax=softmax, compact=compact,
+        )
+        scratch = [
+            pltpu.VMEM((tn * sp, d), jnp.float32),
+            pltpu.VMEM((group * sp, d), q_rows.dtype),
+            pltpu.VMEM((group * sp, 2 * d), kv_rows.dtype),
+        ]
     return pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -430,11 +568,7 @@ def _fused_edge_sums_v2(
         ],
         out_specs=pl.BlockSpec((tn * sp, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((num_tiles * tn * sp, d), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((tn * sp, d), jnp.float32),
-            pltpu.VMEM((group * sp, d), q_rows.dtype),
-            pltpu.VMEM((group * sp, 2 * d), kv_rows.dtype),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -528,14 +662,15 @@ def amp_edge_attention_pallas_core(
 ) -> jnp.ndarray:
     """Projection (XLA) -> fused kernel (Pallas) -> mean + out-proj (XLA)."""
     n, s, d = x.shape
-    qkv = x @ params.w_qkv + params.b_qkv
-
     # pad tokens-per-node to a sublane-aligned row stride so the kernel's
-    # dynamic HBM/VMEM slices meet Mosaic's (8/16, 128) tiling rules
+    # dynamic HBM/VMEM slices meet Mosaic's (8/16, 128) tiling rules.
+    # Padding BEFORE the projection costs 3x less copy traffic; pad rows
+    # become b_qkv, which the kernel's masking nulls (see above).
     align = 16 if x.dtype == jnp.bfloat16 else 8
     sp = -(-s // align) * align
     if sp != s:
-        qkv = jnp.pad(qkv, ((0, 0), (0, sp - s), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+    qkv = x @ params.w_qkv + params.b_qkv
     q_rows = qkv[..., :d].reshape(n * sp, d)
     kv_rows = qkv[..., d:].reshape(n * sp, 2 * d)
 
@@ -791,11 +926,15 @@ def _pallas_core_dynamic(
     arrays already shaped [T, 1, EMAX]. return_parts=True also returns
     (sums, count) for custom-VJP residuals."""
     n, s, d = x.shape
-    qkv = x @ params.w_qkv + params.b_qkv
     align = 16 if x.dtype == jnp.bfloat16 else 8
     sp = -(-s // align) * align
     if sp != s:
-        qkv = jnp.pad(qkv, ((0, 0), (0, sp - s), (0, 0)))
+        # pad BEFORE projecting: 3x less pad traffic than padding the
+        # [N, SP, 3D] projection. Pad rows become b_qkv (bias on zeros) —
+        # harmless: the kernel masks pad K columns, masked-zero weights
+        # null pad V rows, and pad Q rows are sliced off after.
+        x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+    qkv = x @ params.w_qkv + params.b_qkv
     q_rows = qkv[..., :d].reshape(n * sp, d)
     kv_rows = qkv[..., d:].reshape(n * sp, 2 * d)
     n_tiles_nodes = tcsr.num_tiles * tcsr.tile_nodes
