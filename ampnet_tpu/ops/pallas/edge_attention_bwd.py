@@ -246,55 +246,93 @@ def _bwd_kernel_vmem_v2(
         dtype = qbuf_ref.dtype
         if compact:
             # batched (3-D) dots keep every tensor [G, SP, *] — linear in
-            # G (see _fused_kernel_vmem_v2's compact branch)
+            # G; the elementwise softmax/softmax-bwd chains run ONCE over
+            # the packed [G, SP, H*SP] width instead of per head (a VPU op
+            # on <=128 lanes costs the same at any width — see the fwd
+            # kernel's packed-heads softmax)
             q3 = qbuf_ref[:].reshape(g, sp, d)
             kv3 = kvbuf_ref[:].reshape(g, sp, 2 * d)
             dm3 = dmbuf_ref[:].reshape(g, sp, d)
             col_tok3 = jax.lax.broadcasted_iota(jnp.int32, (g, sp, sp), 2)
             kmask = col_tok3 < s
-            dq_heads, dk_heads, dv_heads = [], [], []
+            hsp = num_heads * sp
+
+            score_heads = []
             for h in range(num_heads):
                 qh = q3[:, :, h * dh : (h + 1) * dh]
                 kh = kv3[:, :, h * dh : (h + 1) * dh]
-                vh = kv3[:, :, d + h * dh : d + (h + 1) * dh]
-                dmh = dm3[:, :, h * dh : (h + 1) * dh]
-                scores = jax.lax.dot_general(
+                score_heads.append(jax.lax.dot_general(
                     qh * jnp.asarray(scale, dtype), kh,
                     (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
-                )  # [G, SPq, SPk]
-                if softmax:
-                    scores = jnp.where(kmask, scores, -jnp.inf)
-                    mx = jnp.max(scores, axis=2, keepdims=True)
-                    ex = jnp.exp(scores - mx)
-                    w = ex / jnp.sum(ex, axis=2, keepdims=True)
-                else:
-                    w = jnp.where(kmask, scores, 0.0)
-                wt = w.astype(dtype)
-                dv_h = jax.lax.dot_general(
+                ))  # [G, SPq, SPk]
+
+            col_all = jax.lax.broadcasted_iota(jnp.int32, (g, sp, hsp), 2)
+            kmask_all = (col_all % sp < s).astype(jnp.float32)
+            scores_all = jnp.concatenate(score_heads, axis=2)
+            if softmax:
+                m = jnp.concatenate(
+                    [jnp.broadcast_to(
+                        jnp.max(jnp.where(kmask, sh, -jnp.inf), axis=2,
+                                keepdims=True), (g, sp, sp))
+                     for sh in score_heads], axis=2)
+                e_all = jnp.exp(scores_all - m) * kmask_all
+                seg = (jax.lax.broadcasted_iota(jnp.int32, (hsp, num_heads), 0) // sp
+                       == jax.lax.broadcasted_iota(jnp.int32, (hsp, num_heads), 1)
+                       ).astype(jnp.float32)
+                sums = jax.lax.dot_general(
+                    e_all, seg, (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [G, SP, H]
+                inv = 1.0 / sums
+                inv_all = jnp.concatenate(
+                    [jnp.broadcast_to(inv[:, :, h : h + 1], (g, sp, sp))
+                     for h in range(num_heads)], axis=2)
+                w_all = e_all * inv_all
+            else:
+                w_all = scores_all * kmask_all
+
+            dwm_heads = []
+            dv_heads = []
+            for h in range(num_heads):
+                vh = kv3[:, :, d + h * dh : d + (h + 1) * dh]
+                dmh = dm3[:, :, h * dh : (h + 1) * dh]
+                wt = w_all[:, :, h * sp : (h + 1) * sp].astype(dtype)
+                dv_heads.append(jax.lax.dot_general(
                     wt, dmh, (((1,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                )  # [G, SPk, dh]
-                dwm = jax.lax.dot_general(
+                ))  # [G, SPk, dh]
+                dwm_heads.append(jax.lax.dot_general(
                     dmh, vh, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                )  # [G, SPq, SPk]
-                if softmax:
-                    tmp = dwm * w
-                    ds = w * (dwm - jnp.sum(tmp, axis=2, keepdims=True))
-                else:
-                    ds = jnp.where(kmask, dwm, 0.0)
-                ds = ds.astype(dtype)
-                dq_h = jax.lax.dot_general(
-                    ds, kh, (((2,), (1,)), ((0,), (0,))),
+                ))  # [G, SPq, SPk]
+
+            dwm_all = jnp.concatenate(dwm_heads, axis=2)
+            if softmax:
+                tmp = dwm_all * w_all
+                rs = jax.lax.dot_general(
+                    tmp, seg, (((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ) * scale  # [G, SPq, dh]
-                dk_h = jax.lax.dot_general(
-                    ds, qh, (((1,), (1,)), ((0,), (0,))),
+                )  # [G, SP, H]
+                rs_all = jnp.concatenate(
+                    [jnp.broadcast_to(rs[:, :, h : h + 1], (g, sp, sp))
+                     for h in range(num_heads)], axis=2)
+                ds_all = w_all * (dwm_all - rs_all)
+            else:
+                ds_all = dwm_all * kmask_all
+
+            dq_heads, dk_heads = [], []
+            for h in range(num_heads):
+                qh = q3[:, :, h * dh : (h + 1) * dh]
+                kh = kv3[:, :, h * dh : (h + 1) * dh]
+                ds_h = ds_all[:, :, h * sp : (h + 1) * sp].astype(dtype)
+                dq_heads.append(jax.lax.dot_general(
+                    ds_h, kh, (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                ) * scale  # [G, SPk, dh]
-                dq_heads.append(dq_h)
-                dk_heads.append(dk_h)
-                dv_heads.append(dv_h)
+                ) * scale)  # [G, SPq, dh]
+                dk_heads.append(jax.lax.dot_general(
+                    ds_h, qh, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * scale)  # [G, SPk, dh]
             dq_g = jnp.concatenate(dq_heads, axis=2).reshape(g * sp, d)
             dkv_g = jnp.concatenate(dk_heads + dv_heads, axis=2).reshape(
                 g * sp, 2 * d

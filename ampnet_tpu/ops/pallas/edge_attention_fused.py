@@ -321,27 +321,63 @@ def _fused_kernel_vmem_v2(
             q3 = qbuf_ref[:].reshape(g, sp, d)
             col_tok = jax.lax.broadcasted_iota(jnp.int32, (g, sp, sp), 2)
             kmask = col_tok < s
-            out_heads = []
+            score_heads = []
             for h in range(num_heads):
                 qh = q3[:, :, h * dh : (h + 1) * dh] * jnp.asarray(scale, dtype)
                 kh = kv3[:, :, h * dh : (h + 1) * dh]
-                vh = kv3[:, :, d + h * dh : d + (h + 1) * dh]
-                scores = jax.lax.dot_general(
+                score_heads.append(jax.lax.dot_general(
                     qh, kh, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                )  # [G, SP, SP]
-                if softmax:
-                    scores = jnp.where(kmask, scores, -jnp.inf)
-                    m = jnp.max(scores, axis=2, keepdims=True)
-                    e = jnp.exp(scores - m)
-                    w = e / jnp.sum(e, axis=2, keepdims=True)
-                else:
-                    w = jnp.where(kmask, scores, 0.0)
-                oh = jax.lax.dot_general(
-                    w.astype(dtype), vh, (((2,), (1,)), ((0,), (0,))),
+                ))  # [G, SP, SP]
+            if softmax:
+                # PACKED-HEADS softmax: a VPU op on <=128 lanes costs the
+                # same at any width, so running the elementwise chain once
+                # over [G, SP, H*SP] instead of per-head cuts the op count
+                # ~H-fold (softmax was 45% of kernel time). One shared
+                # row max is valid (any per-row constant works); the
+                # per-head denominators come from one batched matmul
+                # against a segment-indicator, and the 1/sum scale is
+                # applied AFTER the value matmul.
+                hsp = num_heads * sp
+                scores_all = jnp.concatenate(score_heads, axis=2)  # [G,SP,H*SP]
+                # per-head row max (exact reference semantics — a shared
+                # max can underflow a dominated head's exp to an all-zero
+                # denominator), broadcast back to the packed width
+                m = jnp.concatenate(
+                    [jnp.broadcast_to(
+                        jnp.max(jnp.where(kmask, sh, -jnp.inf), axis=2,
+                                keepdims=True), (g, sp, sp))
+                     for sh in score_heads], axis=2)
+                col_all = jax.lax.broadcasted_iota(jnp.int32, (g, sp, hsp), 2)
+                kmask_all = (col_all % sp < s).astype(jnp.float32)
+                e_all = jnp.exp(scores_all - m) * kmask_all
+                seg = (jax.lax.broadcasted_iota(jnp.int32, (hsp, num_heads), 0) // sp
+                       == jax.lax.broadcasted_iota(jnp.int32, (hsp, num_heads), 1)
+                       ).astype(jnp.float32)
+                sums = jax.lax.dot_general(
+                    e_all, seg, (((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # [G, SP, dh]
-                out_heads.append(oh)
+                )  # [G, SP, H]
+                inv = 1.0 / sums
+                out_heads = []
+                for h in range(num_heads):
+                    vh = kv3[:, :, d + h * dh : d + (h + 1) * dh]
+                    eh = e_all[:, :, h * sp : (h + 1) * sp]
+                    oh = jax.lax.dot_general(
+                        eh.astype(dtype), vh, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )  # [G, SP, dh]
+                    out_heads.append(oh * inv[:, :, h : h + 1])
+            else:
+                out_heads = []
+                for h in range(num_heads):
+                    vh = kv3[:, :, d + h * dh : d + (h + 1) * dh]
+                    w = jnp.where(kmask, score_heads[h], 0.0)
+                    oh = jax.lax.dot_general(
+                        w.astype(dtype), vh, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )
+                    out_heads.append(oh)
             msg = jnp.concatenate(out_heads, axis=2).reshape(g * sp, d)
         else:
             kv = kvbuf_ref[:]
