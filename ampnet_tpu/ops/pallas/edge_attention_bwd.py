@@ -20,11 +20,14 @@ tests/test_pallas_bwd.py (interpret mode).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from ampnet_tpu.ops.pallas.edge_attention_fused import PACKED_SOFTMAX_DEFAULT
 
 
 def _bwd_kernel_vmem(
@@ -202,6 +205,7 @@ def _bwd_kernel_vmem_v2(
     emax: int,
     softmax: bool,
     compact: bool = True,
+    packed: bool = True,
 ):
     """v2 backward: dynamic per-tile trip count (see _fused_kernel_vmem_v2).
 
@@ -244,7 +248,62 @@ def _bwd_kernel_vmem_v2(
             dmbuf_ref[pl.ds(j * sp, sp), :] = dsum_ref[pl.ds(r * sp, sp), :] * val
 
         dtype = qbuf_ref.dtype
-        if compact:
+        if compact and not packed:
+            # batched (3-D) dots, one softmax/softmax-bwd chain PER HEAD
+            # (exact reference numerics; the packed variant below trades a
+            # matmul-computed denominator for fewer VPU passes — A/B'd on
+            # the target chip, see RESULTS.md)
+            q3 = qbuf_ref[:].reshape(g, sp, d)
+            kv3 = kvbuf_ref[:].reshape(g, sp, 2 * d)
+            dm3 = dmbuf_ref[:].reshape(g, sp, d)
+            col_tok3 = jax.lax.broadcasted_iota(jnp.int32, (g, sp, sp), 2)
+            kmask = col_tok3 < s
+            dq_heads, dk_heads, dv_heads = [], [], []
+            for h in range(num_heads):
+                qh = q3[:, :, h * dh : (h + 1) * dh]
+                kh = kv3[:, :, h * dh : (h + 1) * dh]
+                vh = kv3[:, :, d + h * dh : d + (h + 1) * dh]
+                dmh = dm3[:, :, h * dh : (h + 1) * dh]
+                scores = jax.lax.dot_general(
+                    qh * jnp.asarray(scale, dtype), kh,
+                    (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+                )  # [G, SPq, SPk]
+                if softmax:
+                    scores = jnp.where(kmask, scores, -jnp.inf)
+                    mx = jnp.max(scores, axis=2, keepdims=True)
+                    ex = jnp.exp(scores - mx)
+                    w = ex / jnp.sum(ex, axis=2, keepdims=True)
+                else:
+                    w = jnp.where(kmask, scores, 0.0)
+                wt = w.astype(dtype)
+                dv_h = jax.lax.dot_general(
+                    wt, dmh, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [G, SPk, dh]
+                dwm = jax.lax.dot_general(
+                    dmh, vh, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [G, SPq, SPk]
+                if softmax:
+                    tmp = dwm * w
+                    ds = w * (dwm - jnp.sum(tmp, axis=2, keepdims=True))
+                else:
+                    ds = jnp.where(kmask, dwm, 0.0)
+                ds = ds.astype(dtype)
+                dq_heads.append(jax.lax.dot_general(
+                    ds, kh, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * scale)  # [G, SPq, dh]
+                dk_heads.append(jax.lax.dot_general(
+                    ds, qh, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * scale)  # [G, SPk, dh]
+                dv_heads.append(dv_h)
+            dq_g = jnp.concatenate(dq_heads, axis=2).reshape(g * sp, d)
+            dkv_g = jnp.concatenate(dk_heads + dv_heads, axis=2).reshape(
+                g * sp, 2 * d
+            )
+        elif compact:
             # batched (3-D) dots keep every tensor [G, SP, *] — linear in
             # G; the elementwise softmax/softmax-bwd chains run ONCE over
             # the packed [G, SP, H*SP] width instead of per head (a VPU op
@@ -574,7 +633,7 @@ def _bwd_kernel_dma(
     jax.jit,
     static_argnames=(
         "num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax",
-        "s", "interpret", "compact",
+        "s", "interpret", "compact", "packed",
     ),
 )
 def fused_edge_bwd_v2(
@@ -595,6 +654,7 @@ def fused_edge_bwd_v2(
     s: int,
     interpret: bool = False,
     compact: bool = True,
+    packed: Optional[bool] = None,
 ):
     """v2 (dynamic trip counts): returns (dq_rows [Nt*SP, D] f32,
     dkv_stream [T*EG*SP, 2D] f32) with EG = ceil(EMAX/G)*G rows per tile.
@@ -607,10 +667,12 @@ def fused_edge_bwd_v2(
     ngroups = ((tile_counts.astype(jnp.int32) + group - 1) // group).reshape(
         1, num_tiles
     )
+    if packed is None:
+        packed = PACKED_SOFTMAX_DEFAULT
     kernel = functools.partial(
         _bwd_kernel_vmem_v2,
         s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
-        softmax=softmax, compact=compact,
+        softmax=softmax, compact=compact, packed=packed,
     )
     return pl.pallas_call(
         kernel,

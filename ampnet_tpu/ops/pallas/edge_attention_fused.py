@@ -40,6 +40,7 @@ path cannot even materialize its gather intermediates in HBM).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -51,6 +52,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ampnet_tpu.ops.edge_attention import MHAParams, amp_edge_attention
 from ampnet_tpu.ops.pallas.format import TiledCSR, build_tiled_csr
 from ampnet_tpu.ops.segment import segment_count
+
+# Packed-heads softmax (one elementwise chain over [G,SP,H*SP]) vs
+# per-head chains. The round-2 A/B (RESULTS.md) found the packed variant
+# both SLOWER at Cora scale (the head-concat relayouts outweigh the saved
+# VPU passes) and ~0.5% less accurate (its denominator comes from a
+# dot_general, which the backend computes with bf16 multiplies at default
+# precision) — so per-head is the default. AMPNET_PACKED_SOFTMAX=1 opts in.
+PACKED_SOFTMAX_DEFAULT = os.environ.get("AMPNET_PACKED_SOFTMAX", "0") == "1"
 
 
 def pallas_available() -> bool:
@@ -275,6 +284,7 @@ def _fused_kernel_vmem_v2(
     emax: int,
     softmax: bool,
     compact: bool = True,
+    packed: bool = True,
 ):
     """v2: the group loop runs a DYNAMIC per-tile trip count (ceil(live
     edges / G) from SMEM), so
@@ -329,7 +339,23 @@ def _fused_kernel_vmem_v2(
                     qh, kh, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 ))  # [G, SP, SP]
-            if softmax:
+            if softmax and not packed:
+                # per-head softmax (exact reference order, one chain per
+                # head); A/B'd against the packed variant below — keep
+                # whichever measures faster on the target chip
+                out_heads = []
+                for h in range(num_heads):
+                    sh = jnp.where(kmask, score_heads[h], -jnp.inf)
+                    m = jnp.max(sh, axis=2, keepdims=True)
+                    e = jnp.exp(sh - m)
+                    w = e / jnp.sum(e, axis=2, keepdims=True)
+                    vh = kv3[:, :, d + h * dh : d + (h + 1) * dh]
+                    oh = jax.lax.dot_general(
+                        w.astype(dtype), vh, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )
+                    out_heads.append(oh)
+            elif softmax:
                 # PACKED-HEADS softmax: a VPU op on <=128 lanes costs the
                 # same at any width, so running the elementwise chain once
                 # over [G, SP, H*SP] instead of per-head cuts the op count
@@ -540,7 +566,7 @@ def _fused_kernel_vmem_v4(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret", "compact", "overlap"),
+    static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret", "compact", "overlap", "packed"),
 )
 def _fused_edge_sums_v2(
     q_rows: jnp.ndarray,         # [NT*SP, D]
@@ -560,7 +586,10 @@ def _fused_edge_sums_v2(
     interpret: bool = False,
     compact: bool = True,
     overlap: bool = False,
+    packed: Optional[bool] = None,
 ):
+    if packed is None:
+        packed = PACKED_SOFTMAX_DEFAULT
     sp = q_rows.shape[0] // (num_tiles * tile_nodes)
     d = q_rows.shape[1]
     tn = tile_nodes
@@ -584,7 +613,7 @@ def _fused_edge_sums_v2(
         kernel = functools.partial(
             _fused_kernel_vmem_v2,
             s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
-            softmax=softmax, compact=compact,
+            softmax=softmax, compact=compact, packed=packed,
         )
         scratch = [
             pltpu.VMEM((tn * sp, d), jnp.float32),
