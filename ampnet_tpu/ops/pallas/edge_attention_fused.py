@@ -721,7 +721,7 @@ def amp_edge_attention_pallas_core(
     edge_mask: Optional[jnp.ndarray],
     num_heads: int,
     softmax: bool = True,
-    gather: str = "vmem",
+    gather: str = "auto",
     group: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -745,6 +745,8 @@ def amp_edge_attention_pallas_core(
         q_rows = jnp.pad(q_rows, ((0, pad), (0, 0)))
         kv_rows = jnp.pad(kv_rows, ((0, pad), (0, 0)))
 
+    gather = _resolve_gather(gather, max(n, n_tiles_nodes) * sp, d,
+                             jnp.dtype(kv_rows.dtype).itemsize)
     if gather == "vmem":
         counts = (jnp.asarray(tcsr.counts) if tcsr.counts is not None
                   else _structural_counts(jnp.asarray(tcsr.valid)[:, None, :]))
@@ -788,7 +790,7 @@ def amp_edge_attention_pallas(
     num_heads: int,
     softmax: bool = True,
     tile_nodes: int = 64,
-    gather: str = "vmem",
+    gather: str = "auto",
     fused_bwd: bool = True,
     interpret: bool = False,
     tile_counts: Optional[jnp.ndarray] = None,  # [T] STRUCTURAL counts —
@@ -808,6 +810,13 @@ def amp_edge_attention_pallas(
         tile_senders[:, None, :], tile_recv[:, None, :], tile_valid[:, None, :],
         tile_nodes, num_tiles, emax, counts=tile_counts,
     )
+    n, s, d = x.shape
+    align = 16 if x.dtype == jnp.bfloat16 else 8
+    sp = -(-s // align) * align
+    gather = _resolve_gather(
+        gather, max(n, num_tiles * tile_nodes) * sp, d,
+        jnp.dtype(x.dtype).itemsize,
+    )  # resolved ONCE so fwd and bwd agree
 
     @jax.custom_vjp
     def fused(x, params):
@@ -963,6 +972,22 @@ def _pallas_bwd_dynamic(
         w_out=d_wout.astype(params.w_out.dtype),
         b_out=d_bout.astype(params.b_out.dtype),
     )
+
+
+# VMEM-resident K|V budget: the kernel pins the whole projected [rows, 2D]
+# block in VMEM (~128 MB/core, 100 MB compiler scoped limit; leave room
+# for the acc/out/q scratch). Above this, fall back to the per-edge
+# DMA-gather kernel (HBM-resident K|V) — slower at Cora scale but the
+# only single-chip option at large N*S (RESULTS.md production-scale row).
+_VMEM_KV_BUDGET = int(os.environ.get("AMPNET_VMEM_KV_BUDGET", 80 * 1024 * 1024))
+
+
+def _resolve_gather(gather: str, n_rows: int, d: int, itemsize: int) -> str:
+    """gather='auto' -> 'vmem' while the resident K|V block fits the VMEM
+    budget, else 'dma'. Explicit 'vmem'/'dma' are honored as given."""
+    if gather != "auto":
+        return gather
+    return "vmem" if n_rows * 2 * d * itemsize <= _VMEM_KV_BUDGET else "dma"
 
 
 def _auto_group(sp: int, emax: int, gather: str) -> int:
@@ -1135,7 +1160,7 @@ def make_pallas_edge_attention(
     softmax: bool = True,
     tile_nodes: int = 64,
     group: int = 0,   # 0 = auto (v2: largest G with G*SP <= 128)
-    gather: str = "vmem",
+    gather: str = "auto",
     interpret: bool = False,
 ):
     """Build a fused edge-attention closure for a FIXED graph structure

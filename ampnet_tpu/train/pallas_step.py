@@ -30,7 +30,7 @@ from ampnet_tpu.ops.pallas.format import (  # noqa: F401
 
 
 def make_fused_fns(model: AMPGCN, graph: Graph, layout: EdgeLayout,
-                   tile_nodes: int = 64, gather: str = "vmem",
+                   tile_nodes: int = 64, gather: str = "auto",
                    fused_bwd: bool = True, interpret: bool = False):
     cfg = model.config
 
@@ -47,7 +47,7 @@ def make_fused_fns(model: AMPGCN, graph: Graph, layout: EdgeLayout,
 
 
 def make_pallas_train_step(model: AMPGCN, loss_mode: str = "saint",
-                           tile_nodes: int = 64, gather: str = "vmem",
+                           tile_nodes: int = 64, gather: str = "auto",
                            fused_bwd: bool = True, interpret: bool = False):
     """Jitted step(state, graph, layout) with fused convs."""
 
