@@ -564,6 +564,194 @@ def _fused_kernel_vmem_v4(
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _fused_kernel_chunked(
+    nc_ref,        # SMEM [1, T] int32: live CHUNK counts (all tiles)
+    senders_ref,   # SMEM [1, 1, NCMAX*C] int32 global sender ids
+    recvc_ref,     # SMEM [1, 1, NCMAX] int32 chunk receiver row (tile-local)
+    valid_ref,     # SMEM [1, 1, NCMAX*C] int32 0/1 (may carry RUNTIME masks)
+    q_ref,         # VMEM [TN*SP, D]
+    kv_ref,        # VMEM [N*SP, 2D] resident
+    out_ref,       # VMEM [TN*SP, D]
+    acc_ref,       # scratch VMEM [TN*SP, D] f32
+    kvbuf_ref,     # scratch VMEM [C*SP, 2D]
+    *,
+    s: int,
+    sp: int,
+    d: int,
+    num_heads: int,
+    chunk: int,
+    softmax: bool,
+):
+    """v5: RECEIVER-CENTRIC chunks (<= C edges sharing one receiver).
+
+    vs the edge-group kernels (v2/v3):
+      * ONE Q read serves the whole chunk (Q gather traffic / C);
+      * the value matmul over the chunk's concatenated [C*SP, 2D] K|V sums
+        the chunk's per-edge messages directly -> ONE accumulate per chunk
+        instead of a read-modify-write per edge;
+      * heads stack along SUBLANES: every softmax tensor is [H*SP, C*SP]
+        at full lane width (~5x fewer VPU ops than [G*SP, SP] at SP=24),
+        with no lane-axis concats (sublane concats are cheap);
+      * K|V copies are PREDICATED on slot validity, so padded slots of
+        partial chunks (low-degree receivers) cost no gather traffic;
+      * per-edge softmax denominators come from tiny 0/1 seg/expander
+        dot_generals at HIGHEST precision (exact in f32 — see the packed-
+        softmax A/B note above for why default MXU precision is not OK).
+
+    Per-edge softmax semantics are preserved: the shared per-row max is
+    just a softmax shift constant, and the seg matmul separates each
+    edge's denominator.
+    """
+    c = chunk
+    h = num_heads
+    dh = d // h
+    scale = 1.0 / (dh ** 0.5)
+    csp = c * sp
+    hsp = h * sp
+
+    acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+    # predicated copies skip invalid slots, so the buffer must start
+    # FINITE: the value dot contracts over every column and 0 * NaN from
+    # uninitialized scratch would poison the chunk sum (w is exactly 0 on
+    # invalid columns, so any finite stale value contributes nothing)
+    kvbuf_ref[:] = jnp.zeros(kvbuf_ref.shape, kvbuf_ref.dtype)
+
+    col1 = jax.lax.broadcasted_iota(jnp.int32, (1, csp), 1)
+    tok_ok = (col1 % sp) < s
+    if softmax:
+        seg = (jax.lax.broadcasted_iota(jnp.int32, (csp, c), 0) // sp
+               == jax.lax.broadcasted_iota(jnp.int32, (csp, c), 1)
+               ).astype(jnp.float32)
+        expander = (jax.lax.broadcasted_iota(jnp.int32, (c, csp), 0)
+                    == jax.lax.broadcasted_iota(jnp.int32, (c, csp), 1) // sp
+                    ).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sp, d), 1)
+
+    def body(ci, _):
+        r = recvc_ref[0, 0, ci]
+        for j in range(c):
+            vj = valid_ref[0, 0, ci * c + j]
+
+            @pl.when(vj != 0)
+            def _():
+                ns = senders_ref[0, 0, ci * c + j]
+                kvbuf_ref[pl.ds(j * sp, sp), :] = kv_ref[pl.ds(ns * sp, sp), :]
+
+        qv = q_ref[pl.ds(r * sp, sp), :]          # [SP, D]
+        dtype = qv.dtype
+        kvb = kvbuf_ref[:]
+        k2 = kvb[:, :d]                            # [C*SP, D]
+        v2 = kvb[:, d:]                            # [C*SP, D]
+
+        rows = []
+        for hh in range(h):
+            qh = qv[:, hh * dh : (hh + 1) * dh] * jnp.asarray(scale, dtype)
+            kh = k2[:, hh * dh : (hh + 1) * dh]
+            rows.append(jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))                                     # [SP, C*SP]
+        scores = jnp.concatenate(rows, axis=0)     # [H*SP, C*SP] sublane concat
+
+        # slot validity vector (stale kvbuf data in unwritten slots — and
+        # the scratch's initial garbage — is neutralized HERE, via where,
+        # never via arithmetic on the garbage scores)
+        okv = tok_ok
+        for j in range(c):
+            vj = valid_ref[0, 0, ci * c + j] != 0
+            okv = okv & ((col1 // sp != j) | vj)
+
+        if softmax:
+            sm = jnp.where(okv, scores, -jnp.inf)
+            mx = jnp.max(sm, axis=1, keepdims=True)   # shared row shift
+            e = jnp.exp(sm - mx)                      # masked cols -> 0
+            sums = jax.lax.dot_general(
+                e, seg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                          # [H*SP, C]
+            inv = jnp.where(sums > 0, 1.0 / sums, 0.0)
+            invb = jax.lax.dot_general(
+                inv, expander, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                          # [H*SP, C*SP]
+            w = e * invb
+        else:
+            w = jnp.where(okv, scores, 0.0)
+
+        op = jax.lax.dot_general(
+            w.astype(dtype), v2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # [H*SP, D]
+        # row-group hh holds head hh's correct output in its own dh lanes
+        # (cross-head lanes are garbage sums) — extract by lane mask
+        outv = jnp.zeros((sp, d), jnp.float32)
+        for hh in range(h):
+            outv = outv + op[hh * sp : (hh + 1) * sp, :] * (lane // dh == hh)
+
+        cur = acc_ref[pl.ds(r * sp, sp), :]
+        acc_ref[pl.ds(r * sp, sp), :] = cur + outv
+        return 0
+
+    jax.lax.fori_loop(0, nc_ref[0, pl.program_id(0)], body, 0)
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "softmax", "tile_nodes", "chunk",
+                     "num_tiles", "ncmax", "s", "interpret"),
+)
+def _fused_edge_sums_chunked(
+    q_rows: jnp.ndarray,         # [NT*SP, D]
+    kv_rows: jnp.ndarray,        # [N*SP, 2D]
+    senders: jnp.ndarray,        # [T, 1, NCMAX*C] int32
+    chunk_recv: jnp.ndarray,     # [T, 1, NCMAX] int32
+    valid: jnp.ndarray,          # [T, 1, NCMAX*C] int32
+    counts: jnp.ndarray,         # [T] int32 live CHUNKS per tile
+    *,
+    num_heads: int,
+    softmax: bool,
+    tile_nodes: int,
+    chunk: int,
+    num_tiles: int,
+    ncmax: int,
+    s: int,
+    interpret: bool = False,
+):
+    sp = q_rows.shape[0] // (num_tiles * tile_nodes)
+    d = q_rows.shape[1]
+    tn = tile_nodes
+    ncounts = counts.astype(jnp.int32).reshape(1, num_tiles)
+    kernel = functools.partial(
+        _fused_kernel_chunked,
+        s=s, sp=sp, d=d, num_heads=num_heads, chunk=chunk, softmax=softmax,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, num_tiles), lambda t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ncmax * chunk), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ncmax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ncmax * chunk), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tn * sp, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kv_rows.shape[0], 2 * d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn * sp, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_tiles * tn * sp, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tn * sp, d), jnp.float32),
+            pltpu.VMEM((chunk * sp, 2 * d), kv_rows.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(ncounts, senders, chunk_recv, valid, q_rows, kv_rows)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret", "compact", "overlap", "packed"),

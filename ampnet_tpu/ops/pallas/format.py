@@ -95,6 +95,101 @@ def build_tiled_csr(
         counts=counts.astype(np.int32), edge_slot=edge_slot.astype(np.int32),
     )
 
+class ChunkedCSR(NamedTuple):
+    """Receiver-centric chunked layout (kernel v5).
+
+    Edges are grouped into CHUNKS of up to C edges sharing ONE receiver
+    (high-degree receivers span several chunks). The kernel then processes
+    a chunk per inner step: one Q read serves C edges, the value matmul
+    over the chunk's concatenated K|V sums the chunk's messages directly
+    (no per-edge scatter), and softmax runs on [H*SP, C*SP] at full lane
+    width. Replaces the edge-group layout's 2 copies + 1 RMW per edge with
+    ~1 guarded copy per edge + 1 RMW per chunk.
+    """
+
+    senders: np.ndarray      # [T, NCMAX*C] int32 global sender (chunk-major)
+    chunk_recv: np.ndarray   # [T, NCMAX] int32 receiver row within tile
+    valid: np.ndarray        # [T, NCMAX*C] int32 0/1 (may carry runtime masks)
+    tile_nodes: int          # TN
+    num_tiles: int           # T
+    chunk_edges: int         # C
+    chunks_per_tile: int     # NCMAX (multiple of 128)
+    counts: Optional[np.ndarray] = None     # [T] int32 live chunks per tile
+    edge_slot: Optional[np.ndarray] = None  # [E] int32 flat slot
+    #                          tile * (NCMAX*C) + chunk*C + j (-1 = masked)
+
+
+def build_chunked_csr(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    edge_mask: np.ndarray,
+    num_nodes_padded: int,
+    tile_nodes: int = 64,
+    chunk_edges: int = 8,
+    chunks_per_tile: int = 0,
+) -> ChunkedCSR:
+    """Pass chunks_per_tile > 0 to FIX the per-tile chunk budget so
+    layouts for different subgraphs share one static shape."""
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    edge_mask = np.asarray(edge_mask).astype(bool)
+
+    tn = tile_nodes
+    c = chunk_edges
+    t = -(-num_nodes_padded // tn)
+
+    sel = np.nonzero(edge_mask)[0]
+    s, r = senders[sel], receivers[sel]
+    order = np.argsort(r, kind="stable")   # receiver-major
+    s, r, sel = s[order], r[order], sel[order]
+
+    # chunk index within each receiver run: ceil(deg/C) chunks per receiver
+    deg = np.bincount(r, minlength=num_nodes_padded)
+    chunks_of_recv = -(-deg // c)          # [N]
+    tile_of_recv = np.arange(num_nodes_padded) // tn
+    chunk_counts = np.bincount(tile_of_recv, weights=chunks_of_recv,
+                               minlength=t).astype(np.int64)
+    need = int(chunk_counts.max()) if chunk_counts.size else 1
+    if chunks_per_tile:
+        if need > chunks_per_tile:
+            raise ValueError(
+                f"tile chunk budget {chunks_per_tile} < required {need}; "
+                f"raise chunks_per_tile or lower tile_nodes"
+            )
+        if chunks_per_tile % 128:
+            raise ValueError("chunks_per_tile must be a multiple of 128")
+        ncmax = chunks_per_tile
+    else:
+        ncmax = ((max(need, 1) + 127) // 128) * 128
+
+    out_s = np.zeros((t, ncmax * c), np.int32)
+    out_r = np.zeros((t, ncmax), np.int32)
+    out_v = np.zeros((t, ncmax * c), np.int32)
+    counts = np.zeros(t, np.int32)
+    edge_slot = np.full(len(senders), -1, np.int64)
+
+    # walk receiver runs in order; chunks land consecutively per tile
+    run_starts = np.nonzero(np.diff(r, prepend=-1))[0]
+    run_ends = np.append(run_starts[1:], len(r))
+    next_chunk = np.zeros(t, np.int64)
+    for a, b in zip(run_starts, run_ends):
+        recv = int(r[a])
+        ti = recv // tn
+        for off in range(a, b, c):
+            k = min(c, b - off)
+            ci = int(next_chunk[ti])
+            next_chunk[ti] += 1
+            out_r[ti, ci] = recv % tn
+            out_s[ti, ci * c : ci * c + k] = s[off : off + k]
+            out_v[ti, ci * c : ci * c + k] = 1
+            edge_slot[sel[off : off + k]] = ti * (ncmax * c) + ci * c + np.arange(k)
+    counts = next_chunk.astype(np.int32)
+    return ChunkedCSR(
+        out_s, out_r, out_v, tn, t, c, ncmax,
+        counts=counts, edge_slot=edge_slot.astype(np.int32),
+    )
+
+
 try:
     from flax import struct as _struct
 

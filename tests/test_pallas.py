@@ -65,3 +65,67 @@ def test_fused_kernel_parity_interpret(rng, softmax, gather):
         params, H, softmax=softmax, return_weights=False,
     )
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_chunked_kernel_parity_interpret(rng):
+    """v5 receiver-chunked kernel == v2 edge-group kernel (interpret).
+
+    Covers: partial chunks (low-degree receivers), multi-chunk receivers,
+    masked edges, shared-row-max softmax, and the no-softmax branch."""
+    from ampnet_tpu.ops.pallas.edge_attention_fused import (
+        _fused_edge_sums_chunked,
+        _fused_edge_sums_v2,
+    )
+    from ampnet_tpu.ops.pallas.format import build_chunked_csr
+
+    n, e, s, d, h, tn, sp = 96, 300, 5, 16, 4, 32, 8
+    senders = rng.integers(0, n, e)
+    receivers = rng.integers(0, n, e)
+    mask = np.ones(e, bool)
+    mask[::7] = False
+    tcsr = build_tiled_csr(senders, receivers, mask, n, tile_nodes=tn, group=8)
+    ck = build_chunked_csr(senders, receivers, mask, n, tile_nodes=tn,
+                           chunk_edges=8)
+    q = jnp.asarray(rng.normal(size=(tcsr.num_tiles * tn * sp, d)), jnp.float32)
+    kv = jnp.asarray(rng.normal(size=(n * sp, 2 * d)), jnp.float32)
+    for softmax in (True, False):
+        ref = _fused_edge_sums_v2(
+            q, kv, jnp.asarray(tcsr.senders)[:, None, :],
+            jnp.asarray(tcsr.recv_local)[:, None, :],
+            jnp.asarray(tcsr.valid)[:, None, :], jnp.asarray(tcsr.counts),
+            num_heads=h, softmax=softmax, tile_nodes=tn, group=8,
+            num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
+            interpret=True)
+        got = _fused_edge_sums_chunked(
+            q, kv, jnp.asarray(ck.senders)[:, None, :],
+            jnp.asarray(ck.chunk_recv)[:, None, :],
+            jnp.asarray(ck.valid)[:, None, :], jnp.asarray(ck.counts),
+            num_heads=h, softmax=softmax, tile_nodes=tn, chunk=ck.chunk_edges,
+            num_tiles=ck.num_tiles, ncmax=ck.chunks_per_tile, s=s,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_chunked_layout_roundtrip(rng):
+    """Every live edge appears exactly once at its edge_slot with the
+    right sender/receiver; chunk receivers are tile-local."""
+    from ampnet_tpu.ops.pallas.format import build_chunked_csr
+
+    n, e, tn, c = 64, 200, 16, 4
+    senders = rng.integers(0, n, e)
+    receivers = rng.integers(0, n, e)
+    mask = rng.random(e) > 0.2
+    ck = build_chunked_csr(senders, receivers, mask, n, tile_nodes=tn,
+                           chunk_edges=c)
+    assert ck.valid.sum() == mask.sum()
+    ncc = ck.chunks_per_tile * c
+    for eid in np.nonzero(mask)[0]:
+        slot = ck.edge_slot[eid]
+        assert slot >= 0
+        ti, pos = slot // ncc, slot % ncc
+        assert ck.senders[ti, pos] == senders[eid]
+        assert ck.chunk_recv[ti, pos // c] == receivers[eid] % tn
+        assert ti == receivers[eid] // tn
+        assert ck.valid[ti, pos] == 1
+    assert ck.edge_slot[~mask].max(initial=-1) == -1
