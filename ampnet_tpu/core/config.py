@@ -161,6 +161,11 @@ class TrainConfig:
     # per-iteration format with LR (cora_benchmark_graphsaint.py:130-131).
     # 0 = last step of each epoch only.
     log_every_steps: int = 0
+    # SAINT subgraph loss: 'sum' = the reference's node_norm-weighted NLL
+    # sum (cora_benchmark_graphsaint.py:105-106, gradients ~1e-5 scale —
+    # L2 weight decay dominates and the model collapses, diagnosed r2);
+    # 'mean' = weight-normalized O(1)-scale variant (stabilized recipe).
+    saint_loss: str = "sum"
 
 
 def replace(cfg, **kw):

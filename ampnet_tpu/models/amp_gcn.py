@@ -41,6 +41,9 @@ class ModelOutput:
 class AMPGCN(nn.Module):
     config: AMPGCNConfig
     pca_embedding: Optional[jnp.ndarray] = None
+    # (mean, std) dataset-level scaler stats (ops.tokenize.fit_scaler) for
+    # cfg.scaler='precomputed' — constants, like pca_embedding
+    scaler_stats: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
 
     @nn.compact
     def __call__(
@@ -74,9 +77,11 @@ class AMPGCN(nn.Module):
                 self.make_rng("edges"), edge_mask, cfg.dropout_adj_rate
             )
 
+        sc_mean, sc_std = self.scaler_stats or (None, None)
         tokens, sidx = FeatureTokenizer(
             cfg.tokenizer(), pca_embedding=self.pca_embedding, name="tokenizer"
-        )(graph.x, node_mask=graph.node_mask, sampled_idx=sampled_idx)
+        )(graph.x, node_mask=graph.node_mask, sampled_idx=sampled_idx,
+          scaler_mean=sc_mean, scaler_std=sc_std)
         # tokens: [N, S, D]
 
         if not cfg.average_pooling:

@@ -8,7 +8,7 @@ synthetic_benchmark/xor_training_utils.py:56-103.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -84,6 +84,9 @@ class GCN(nn.Module):
     # gcn_classifier.py:69); 'raw': z-scored raw features (the reference's
     # normalize_features variant, :83-89 — the classic Kipf-Welling setup)
     frontend: str = "tokens"
+    # dataset-level (mean, std) from ops.tokenize.fit_scaler: consistent
+    # train/eval normalization (None = refit per batch like the reference)
+    scaler_stats: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
 
     @nn.compact
     def __call__(self, graph: Graph, deterministic: bool = True, return_aux: bool = True, **kwargs) -> ModelOutput:
@@ -92,7 +95,9 @@ class GCN(nn.Module):
         if not deterministic and self.dropout_adj_rate > 0.0:
             edge_mask = dropout_edges(self.make_rng("edges"), edge_mask, self.dropout_adj_rate)
 
-        x_norm = standardize(graph.x, node_mask=graph.node_mask)
+        sc_mean, sc_std = self.scaler_stats or (None, None)
+        x_norm = standardize(graph.x, mean=sc_mean, std=sc_std,
+                             node_mask=graph.node_mask)
         if self.frontend == "raw":
             x = x_norm
         else:

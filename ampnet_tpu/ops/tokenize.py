@@ -25,6 +25,24 @@ import numpy as np
 _NEG_INF = -1e30
 
 
+def fit_scaler(
+    x: np.ndarray,
+    node_mask: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Dataset-level StandardScaler fit (population std, computed once on
+    host). Pairing this with scaler='precomputed' gives a normalization
+    that is IDENTICAL at train and eval — the fix for the reference's
+    refit-per-forward quirk (amp_gcn.py:122-124), which on GraphSAINT
+    subgraphs z-scores each subgraph with its own stats and makes the
+    full-graph eval distribution unlike anything seen in training."""
+    x = np.asarray(x, dtype=np.float32)
+    if node_mask is not None:
+        x = x[np.asarray(node_mask, dtype=bool)]
+    mean = x.mean(axis=0)
+    std = x.std(axis=0)
+    return mean.astype(np.float32), std.astype(np.float32)
+
+
 def standardize(
     x: jnp.ndarray,
     mean: Optional[jnp.ndarray] = None,

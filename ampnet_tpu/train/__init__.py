@@ -2,6 +2,7 @@ from ampnet_tpu.train.optim import cosine_warm_restarts, make_optimizer
 from ampnet_tpu.train.losses import (
     nll_loss,
     masked_mean_nll,
+    saint_weighted_mean_nll,
     saint_weighted_nll,
     bce_with_logits,
     masked_accuracy,
@@ -28,6 +29,7 @@ __all__ = [
     "make_optimizer",
     "nll_loss",
     "masked_mean_nll",
+    "saint_weighted_mean_nll",
     "saint_weighted_nll",
     "bce_with_logits",
     "masked_accuracy",

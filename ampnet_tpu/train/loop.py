@@ -169,7 +169,9 @@ def train_saint(
         state, start_epoch = resume_or_create(cfg.run_dir, state)
         if start_epoch:
             log.log(f"resumed from epoch {start_epoch - 1}")
-    train_step = make_train_step(model, loss_mode="saint")
+    train_step = make_train_step(
+        model, loss_mode="saint_mean" if cfg.saint_loss == "mean" else "saint"
+    )
     eval_step = make_eval_step(model, num_eval_samples=cfg.num_eval_samples)
 
     # cfg.use_pallas: one fixed per-tile edge budget across subgraphs so all

@@ -36,6 +36,27 @@ def saint_weighted_nll(
     return jnp.sum(per_node * node_norm * m)
 
 
+def saint_weighted_mean_nll(
+    log_probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    node_norm: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """node_norm-weighted MEAN NLL — the stabilized SAINT loss.
+
+    The reference's weighted SUM has magnitude ~1e-1 and per-parameter
+    gradients ~1e-5 (node_norm ~ 1/coverage/N), so torch-style L2 weight
+    decay (add_decayed_weights BEFORE the Adam moments, wd=5e-4..1e-4)
+    dominates the update direction and the model collapses to its biases —
+    diagnosed round 2; this is why the reference's own GraphSAINT recipe
+    never learns. Normalizing by the summed weights keeps the SAINT
+    bias-correction RATIOS between nodes while restoring an O(1) loss."""
+    per_node = nll_loss(log_probs, labels)
+    m = mask.astype(log_probs.dtype)
+    w = node_norm * m
+    return jnp.sum(per_node * w) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
 def bce_with_logits(
     logits: jnp.ndarray,
     targets: jnp.ndarray,

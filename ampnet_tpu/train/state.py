@@ -18,6 +18,7 @@ from ampnet_tpu.core.graph import Graph
 from ampnet_tpu.train.losses import (
     masked_accuracy,
     masked_mean_nll,
+    saint_weighted_mean_nll,
     saint_weighted_nll,
 )
 
@@ -56,17 +57,21 @@ def make_train_step(
 ) -> Callable[[TrainState, Graph], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build a jitted training step.
 
-    loss_mode='full':  masked mean NLL (cora_benchmark_full.py:64)
-    loss_mode='saint': node_norm-weighted NLL sum
-                       (cora_benchmark_graphsaint.py:105-106)
+    loss_mode='full':       masked mean NLL (cora_benchmark_full.py:64)
+    loss_mode='saint':      node_norm-weighted NLL sum
+                            (cora_benchmark_graphsaint.py:105-106)
+    loss_mode='saint_mean': node_norm-weighted NLL mean — the stabilized
+                            recipe's O(1)-scale variant (see
+                            losses.saint_weighted_mean_nll)
     """
 
     def loss_from_output(out_logits, graph: Graph):
+        tm = graph.train_mask & graph.node_mask
         if loss_mode == "saint":
-            return saint_weighted_nll(
-                out_logits, graph.y, graph.node_norm, graph.train_mask & graph.node_mask
-            )
-        return masked_mean_nll(out_logits, graph.y, graph.train_mask & graph.node_mask)
+            return saint_weighted_nll(out_logits, graph.y, graph.node_norm, tm)
+        if loss_mode == "saint_mean":
+            return saint_weighted_mean_nll(out_logits, graph.y, graph.node_norm, tm)
+        return masked_mean_nll(out_logits, graph.y, tm)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, graph: Graph, layout=None):

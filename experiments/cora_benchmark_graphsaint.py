@@ -29,18 +29,29 @@ def main(epochs=50, steps_per_epoch=200, train_ampconv=TRAIN_AMPCONV, run_base="
         batch_size=8, walk_length=150, num_steps=steps_per_epoch,
         sample_coverage=100, seed=1,
     )
+    # Dataset-level scaler stats: the reference refits its StandardScaler on
+    # every forward (amp_gcn.py:122-124), so under GraphSAINT each subgraph
+    # is z-scored with its own stats and the full-graph eval distribution is
+    # unlike anything seen in training — subgraph training then never moves
+    # the full-graph accuracy (diagnosed round 2). The stabilized recipe
+    # normalizes with stats fit once on the full graph.
+    from ampnet_tpu.ops.tokenize import fit_scaler
+
+    scaler_stats = fit_scaler(np.asarray(d.x)) if stabilized else None
     if train_ampconv:
         cfg = AMPGCNConfig(
             embedding_dim=128, num_heads=4, num_node_features=1433,
             num_sampled_vectors=40 if stabilized else 20,
             output_dim=7, feat_emb_dim=127, val_emb_dim=1,
             token_sampling="tfidf" if stabilized else "uniform",
+            scaler="precomputed" if stabilized else "batch",
             dropout_adj_rate=0.0 if fused else 0.1,
             use_pallas=fused,
         )
-        model = AMPGCN(config=cfg)
+        model = AMPGCN(config=cfg, scaler_stats=scaler_stats)
     else:
-        model = GCN(num_node_features=1433, feat_emb_dim=127, val_emb_dim=1, output_dim=7)
+        model = GCN(num_node_features=1433, feat_emb_dim=127, val_emb_dim=1, output_dim=7,
+                    scaler_stats=scaler_stats)
 
     run_dir = create_run_dir(
         run_base,
@@ -56,7 +67,7 @@ def main(epochs=50, steps_per_epoch=200, train_ampconv=TRAIN_AMPCONV, run_base="
             learning_rate=3e-3, weight_decay=5e-4, epochs=epochs,
             cosine_t0=None, grad_clip=1.0, checkpoint_every=10,
             run_dir=run_dir, select_best_every=1, num_eval_samples=8,
-            log_every_steps=50,
+            log_every_steps=50, saint_loss="mean",
         )
     else:
         # exact reference recipe (documented-instability artifact)

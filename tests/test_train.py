@@ -90,3 +90,81 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         state.params, restored["state"].params,
     )
     assert int(restored["state"].step) == 1
+
+
+def test_saint_mean_loss_is_o1_scale_and_ratio_preserving(rng):
+    """The stabilized SAINT loss: same relative node weighting as the
+    reference's weighted sum, but O(1) magnitude so torch-style L2 weight
+    decay cannot dominate the update direction (r2 diagnosis)."""
+    from ampnet_tpu.train import saint_weighted_mean_nll
+
+    n, c = 64, 7
+    logp = jax.nn.log_softmax(jnp.asarray(rng.normal(size=(n, c))), -1)
+    y = jnp.asarray(rng.integers(0, c, n))
+    norm = jnp.asarray(rng.uniform(1e-4, 1e-2, n).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=n) < 0.5)
+
+    s = saint_weighted_nll(logp, y, norm, mask)
+    m = saint_weighted_mean_nll(logp, y, norm, mask)
+    # mean = sum / total weight — exact relationship
+    total_w = float(jnp.sum(norm * mask))
+    assert np.isclose(float(m), float(s) / total_w, rtol=1e-5)
+    # O(1) scale: for ~ln(7) per-node NLL, the mean stays near ln(7)
+    assert 0.5 < float(m) < 5.0
+    # scaling ALL weights leaves the mean invariant (only ratios matter)
+    m2 = saint_weighted_mean_nll(logp, y, norm * 123.0, mask)
+    assert np.isclose(float(m), float(m2), rtol=1e-5)
+
+
+def test_fit_scaler_matches_sklearn(rng):
+    sklearn = pytest.importorskip("sklearn")
+    from sklearn.preprocessing import StandardScaler
+
+    from ampnet_tpu.ops.tokenize import fit_scaler, standardize
+
+    x = (rng.uniform(size=(40, 9)) < 0.2).astype(np.float32)
+    x[:, 0] = 0.0  # zero-variance column
+    mean, std = fit_scaler(x)
+    ref = StandardScaler().fit(x)
+    np.testing.assert_allclose(mean, ref.mean_, rtol=1e-6)
+    np.testing.assert_allclose(
+        standardize(jnp.asarray(x), jnp.asarray(mean), jnp.asarray(std)),
+        ref.transform(x), rtol=1e-5, atol=1e-6)
+
+
+def test_precomputed_scaler_consistent_between_subgraph_and_full(rng):
+    """With dataset-level scaler stats, a node's normalized features are
+    IDENTICAL whether it appears in a subgraph batch or the full graph —
+    the property that makes GraphSAINT training transfer to full-graph
+    eval (refit-per-batch, the reference's behavior, breaks it)."""
+    from ampnet_tpu.core.graph import from_arrays
+    from ampnet_tpu.models.classifiers import GCN
+    from ampnet_tpu.ops.tokenize import fit_scaler
+
+    n, f = 30, 12
+    x = (rng.uniform(size=(n, f)) < 0.3).astype(np.float32)
+    # edge-free graphs (GCN adds self-loops): each node's logits depend
+    # only on its own normalized features, isolating the scaler property
+    no_edges = np.empty((2, 0), dtype=np.int64)
+    stats = fit_scaler(x)
+    model = GCN(num_node_features=f, feat_emb_dim=5, val_emb_dim=1,
+                output_dim=3, scaler_stats=stats)
+    full = from_arrays(x, no_edges)
+    params = model.init(jax.random.PRNGKey(0), full)["params"]
+
+    sub = from_arrays(x[:10], no_edges)
+    out_full = model.apply({"params": params}, full).logits
+    out_sub = model.apply({"params": params}, sub).logits
+    np.testing.assert_allclose(
+        np.asarray(out_sub)[:10], np.asarray(out_full)[:10],
+        rtol=1e-4, atol=1e-5)
+
+    # and WITHOUT stats (reference refit-per-batch), the same comparison
+    # breaks — the quirk the stabilized recipe removes
+    model_b = GCN(num_node_features=f, feat_emb_dim=5, val_emb_dim=1,
+                  output_dim=3)
+    params_b = model_b.init(jax.random.PRNGKey(0), full)["params"]
+    d_full = model_b.apply({"params": params_b}, full).logits
+    d_sub = model_b.apply({"params": params_b}, sub).logits
+    assert not np.allclose(np.asarray(d_sub)[:10], np.asarray(d_full)[:10],
+                           rtol=1e-4, atol=1e-5)
