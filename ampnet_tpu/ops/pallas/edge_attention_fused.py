@@ -1132,16 +1132,42 @@ def _pallas_bwd_dynamic(
         eg = -(-emax // group) * group
         stream = dkv_stream.reshape(tcsr.num_tiles * eg, sp, 2 * d)
     else:
-        dq_rows, dkv_stream = fused_edge_bwd(
-            q_rows, kv_rows, dsum_rows.astype(q_rows.dtype),
-            tcsr.senders, tcsr.recv_local, tcsr.valid,
-            num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
-            group=group, num_tiles=tcsr.num_tiles, emax=emax, s=s,
-            gather=gather, interpret=interpret,
-        )
-        flat_senders = tcsr.senders.reshape(-1)            # [T*EMAX]
-        flat_valid = tcsr.valid.reshape(-1) != 0
-        stream = dkv_stream.reshape(tcsr.num_tiles * emax, sp, 2 * d)
+        # Tile-chunked pass A + B: the per-edge dK|dV stream at production
+        # scale is E*SP*2D*4 bytes (1M edges, S=20, D=128 -> ~25 GB — more
+        # than the chip's HBM, VERDICT r1 weak-#9). Running pass A on a
+        # slice of tiles and folding its stream into the dkv accumulator
+        # before the next slice caps the live stream at
+        # AMPNET_STREAM_CHUNK_BYTES; total FLOPs/traffic are unchanged.
+        stream_rows_total = tcsr.num_tiles * emax * sp
+        chunk_budget = _STREAM_CHUNK_BYTES
+        n_chunks = max(1, -(-stream_rows_total * 2 * d * 4 // chunk_budget))
+        tc = -(-tcsr.num_tiles // n_chunks)          # tiles per chunk
+        n_chunks = -(-tcsr.num_tiles // tc)
+        rows_per_tile = tcsr.tile_nodes * sp
+        dsum_cast = dsum_rows.astype(q_rows.dtype)
+        dq_parts = []
+        dkv_nodes_rows = jnp.zeros((nt, sp, 2 * d), jnp.float32)
+        for ci in range(n_chunks):
+            t0, t1 = ci * tc, min((ci + 1) * tc, tcsr.num_tiles)
+            ntc = t1 - t0
+            dq_c, stream_c = fused_edge_bwd(
+                q_rows[t0 * rows_per_tile : t1 * rows_per_tile],
+                kv_rows,
+                dsum_cast[t0 * rows_per_tile : t1 * rows_per_tile],
+                tcsr.senders[t0:t1], tcsr.recv_local[t0:t1], tcsr.valid[t0:t1],
+                num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
+                group=group, num_tiles=ntc, emax=emax, s=s,
+                gather=gather, interpret=interpret,
+            )
+            dq_parts.append(dq_c)
+            fs = tcsr.senders[t0:t1].reshape(-1)
+            fv = tcsr.valid[t0:t1].reshape(-1) != 0
+            dkv_nodes_rows = dkv_nodes_rows + segment_sum(
+                stream_c.reshape(ntc * emax, sp, 2 * d), fs, nt, fv)
+        dq_rows = jnp.concatenate(dq_parts, axis=0) if len(dq_parts) > 1 else dq_parts[0]
+        dkv_nodes = dkv_nodes_rows[:n, :s, :]
+        dq_nodes = dq_rows[: n * sp].reshape(n, sp, d)[:, :s, :]
+        return _finish_bwd(x, params, dq_nodes, dkv_nodes, d_wout, d_bout)
     dq_nodes = dq_rows[: n * sp].reshape(n, sp, d)[:, :s, :]
 
     # pass B: scatter dK|dV to sender nodes via masked segment-sum over the
@@ -1149,11 +1175,22 @@ def _pallas_bwd_dynamic(
     # groups are excluded by the validity mask)
     dkv_nodes = segment_sum(stream, flat_senders, nt, flat_valid)
     dkv_nodes = dkv_nodes[:n, :s, :]                   # [N, S, 2D]
+    return _finish_bwd(x, params, dq_nodes, dkv_nodes, d_wout, d_bout)
 
-    dqkv = jnp.concatenate([dq_nodes, dkv_nodes], axis=-1)   # [N, S, 3D]
-    dx = (dqkv @ params.w_qkv.T).astype(x.dtype)
-    d_wqkv = jnp.einsum("nsd,nse->de", x, dqkv, preferred_element_type=jnp.float32)
-    d_bqkv = jnp.sum(dqkv, axis=(0, 1))
+
+def _finish_bwd(x, params, dq_nodes, dkv_nodes, d_wout, d_bout):
+    """In-projection grads WITHOUT materializing the [N, S, 3D] concat
+    (at N=100k/S=20/D=128 that buffer alone is 3.7 GB): dq and dkv flow
+    through separate matmuls against the split w_qkv columns."""
+    d = dq_nodes.shape[-1]
+    w_q, w_kv = params.w_qkv[:, :d], params.w_qkv[:, d:]
+    dx = (dq_nodes @ w_q.T + dkv_nodes @ w_kv.T).astype(x.dtype)
+    d_wq = jnp.einsum("nsd,nse->de", x, dq_nodes, preferred_element_type=jnp.float32)
+    d_wkv = jnp.einsum("nsd,nse->de", x, dkv_nodes, preferred_element_type=jnp.float32)
+    d_wqkv = jnp.concatenate([d_wq, d_wkv], axis=1)
+    d_bqkv = jnp.concatenate(
+        [jnp.sum(dq_nodes, axis=(0, 1)), jnp.sum(dkv_nodes, axis=(0, 1))]
+    )
     return dx, MHAParams(
         w_qkv=d_wqkv.astype(params.w_qkv.dtype),
         b_qkv=d_bqkv.astype(params.b_qkv.dtype),
@@ -1168,6 +1205,14 @@ def _pallas_bwd_dynamic(
 # DMA-gather kernel (HBM-resident K|V) — slower at Cora scale but the
 # only single-chip option at large N*S (RESULTS.md production-scale row).
 _VMEM_KV_BUDGET = int(os.environ.get("AMPNET_VMEM_KV_BUDGET", 80 * 1024 * 1024))
+
+# Cap on the LIVE portion of the backward dK|dV edge stream (pass A output
+# consumed by pass B). Tiles are processed in chunks sized to keep the
+# stream under this many bytes, so the 1M-edge train step fits single-chip
+# (full stream would be ~25 GB > HBM).
+_STREAM_CHUNK_BYTES = int(
+    os.environ.get("AMPNET_STREAM_CHUNK_BYTES", 1024 * 1024 * 1024)
+)
 
 
 def _resolve_gather(gather: str, n_rows: int, d: int, itemsize: int) -> str:

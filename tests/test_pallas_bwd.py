@@ -94,3 +94,33 @@ def test_fused_bwd_dma_gather_matches_xla_vjp(rng, softmax):
     np.testing.assert_allclose(lf, lr, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), rtol=3e-3, atol=3e-4)
     np.testing.assert_allclose(np.asarray(gp_f.w_qkv), np.asarray(gp_r.w_qkv), rtol=3e-3, atol=3e-4)
+
+
+def test_dma_bwd_stream_chunking_matches_unchunked(rng, monkeypatch):
+    """Tile-chunked pass A+B (the 1M-edge-scale memory cap) must be exactly
+    the same math as the single-stream path: chunk boundaries only change
+    the order of the dkv accumulator additions."""
+    import ampnet_tpu.ops.pallas.edge_attention_fused as eaf
+
+    x, senders, receivers, mask, params = make_case(rng)
+    tcsr = build_tiled_csr(senders, receivers, mask, 16, tile_nodes=8, group=4)
+
+    def fused_loss(x, params):
+        out = amp_edge_attention_pallas(
+            x, params, jnp.asarray(senders), jnp.asarray(receivers),
+            jnp.asarray(mask),
+            jnp.asarray(tcsr.senders), jnp.asarray(tcsr.recv_local),
+            jnp.asarray(tcsr.valid),
+            num_heads=H, softmax=True, tile_nodes=8,
+            gather="dma", fused_bwd=True, interpret=True,
+        )
+        return jnp.sum(out * jnp.cos(out))
+
+    monkeypatch.setattr(eaf, "_STREAM_CHUNK_BYTES", 1 << 62)  # single chunk
+    l1, (gx1, gp1) = jax.value_and_grad(fused_loss, argnums=(0, 1))(x, params)
+    monkeypatch.setattr(eaf, "_STREAM_CHUNK_BYTES", 4096)     # many chunks
+    l2, (gx2, gp2) = jax.value_and_grad(fused_loss, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gp1.w_qkv), np.asarray(gp2.w_qkv),
+                               rtol=1e-5, atol=1e-7)
