@@ -78,7 +78,12 @@ def find_latest_checkpoint(run_dir: str) -> Optional[str]:
     checkpoint' — SURVEY §5.3)."""
     import glob
 
-    cands = glob.glob(os.path.join(run_dir, "checkpoint_*.pkl"))
+    cands = [
+        p for p in glob.glob(os.path.join(run_dir, "checkpoint_*.pkl"))
+        # checkpoint_best.pkl is the model-SELECTION artifact (best-val
+        # params, possibly many epochs old) — never the resume point
+        if not p.endswith("checkpoint_best.pkl")
+    ]
     if not cands:
         return None
     return max(cands, key=os.path.getmtime)

@@ -126,6 +126,11 @@ def train_full_batch(
             if va > best_val:
                 best_val = va
                 best_params = jax.tree_util.tree_map(lambda a: a.copy(), state.params)
+                if cfg.run_dir:
+                    save_checkpoint(
+                        os.path.join(cfg.run_dir, "checkpoint_best.pkl"),
+                        state.replace(params=best_params), epoch, None,
+                    )
         if cfg.run_dir and cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
             save_checkpoint(
                 os.path.join(cfg.run_dir, f"checkpoint_ep{epoch}.pkl"),
@@ -221,6 +226,13 @@ def train_saint(
             if va > best_val:
                 best_val = va
                 best_params = jax.tree_util.tree_map(lambda a: a.copy(), state.params)
+                if cfg.run_dir:
+                    # persist the selected params: a crash after epoch K
+                    # must not lose the best model seen so far
+                    save_checkpoint(
+                        os.path.join(cfg.run_dir, "checkpoint_best.pkl"),
+                        state.replace(params=best_params), epoch, None,
+                    )
             log.log(f"Eval epoch {epoch:4d} | val acc {va:.4f} | best {best_val:.4f}")
         if cfg.run_dir and cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
             save_checkpoint(

@@ -32,3 +32,36 @@ def test_resume_from_latest_checkpoint(tmp_path):
     epochs_run = [h["epoch"] for h in r2["history"]]
     assert epochs_run and epochs_run[0] >= 4  # started past the crash point
     assert int(r2["state"].step) > step_after_crash
+
+
+def test_best_checkpoint_saved_and_excluded_from_resume(tmp_path):
+    """select_best_every persists checkpoint_best.pkl on improvement, and
+    failure recovery resumes from the latest PERIODIC checkpoint, never
+    the selection artifact."""
+    import jax
+    import numpy as np
+
+    from ampnet_tpu.core.config import TrainConfig
+    from ampnet_tpu.core.graph import from_arrays
+    from ampnet_tpu.models.classifiers import LinearLayer
+    from ampnet_tpu.train import train_full_batch
+    from ampnet_tpu.train.checkpoint import find_latest_checkpoint
+
+    rng = np.random.default_rng(0)
+    n, f = 32, 8
+    g = from_arrays(
+        rng.normal(size=(n, f)).astype(np.float32), np.empty((2, 0), np.int64),
+        y=rng.integers(0, 2, n), train_mask=np.ones(n, bool),
+        val_mask=np.ones(n, bool), test_mask=np.ones(n, bool),
+    )
+    run_dir = str(tmp_path / "run")
+    import os
+    os.makedirs(run_dir, exist_ok=True)
+    cfg = TrainConfig(learning_rate=1e-2, weight_decay=0.0, epochs=4,
+                      cosine_t0=None, run_dir=run_dir, checkpoint_every=2,
+                      select_best_every=1, num_eval_samples=1)
+    model = LinearLayer(out_dim=2)
+    train_full_batch(model, g, cfg)
+    assert os.path.exists(os.path.join(run_dir, "checkpoint_best.pkl"))
+    latest = find_latest_checkpoint(run_dir)
+    assert latest is not None and not latest.endswith("checkpoint_best.pkl")
