@@ -60,6 +60,7 @@ from ampnet_tpu.ops.segment import segment_count
 # dot_general, which the backend computes with bf16 multiplies at default
 # precision) — so per-head is the default. AMPNET_PACKED_SOFTMAX=1 opts in.
 PACKED_SOFTMAX_DEFAULT = os.environ.get("AMPNET_PACKED_SOFTMAX", "0") == "1"
+STACKED_SOFTMAX_DEFAULT = os.environ.get("AMPNET_STACKED_SOFTMAX", "0") == "1"
 
 
 def pallas_available() -> bool:
@@ -285,6 +286,7 @@ def _fused_kernel_vmem_v2(
     softmax: bool,
     compact: bool = True,
     packed: bool = True,
+    stacked: bool = False,
 ):
     """v2: the group loop runs a DYNAMIC per-tile trip count (ceil(live
     edges / G) from SMEM), so
@@ -320,7 +322,47 @@ def _fused_kernel_vmem_v2(
             qbuf_ref[pl.ds(j * sp, sp), :] = q_ref[pl.ds(r * sp, sp), :]
 
         dtype = qbuf_ref.dtype
-        if compact:
+        if compact and stacked:
+            # HEAD-STACKED compact body: heads ride the BATCH axis of one
+            # 3-D dot ([H*G, SP, dh] stacks are axis-0 concats of the same
+            # per-head lane slices the per-head body feeds its dots), so
+            # the whole softmax is ONE elementwise chain over
+            # [H*G, SP, SP] — 4x fewer VPU op invocations than the
+            # per-head loop, with none of the lane-concat relayouts that
+            # sank the packed-[G,SP,H*SP] variant (those concats moved
+            # data ACROSS lanes; axis-0 stacking is tile-contiguous).
+            kv3 = kvbuf_ref[:].reshape(g, sp, 2 * d)
+            q3 = qbuf_ref[:].reshape(g, sp, d)
+            sc = jnp.asarray(scale, dtype)
+            qs = jnp.concatenate(
+                [q3[:, :, h * dh : (h + 1) * dh] * sc for h in range(num_heads)],
+                axis=0)
+            ks = jnp.concatenate(
+                [kv3[:, :, h * dh : (h + 1) * dh] for h in range(num_heads)],
+                axis=0)
+            vs = jnp.concatenate(
+                [kv3[:, :, d + h * dh : d + (h + 1) * dh] for h in range(num_heads)],
+                axis=0)
+            scores = jax.lax.dot_general(
+                qs, ks, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [H*G, SP, SP]
+            col = jax.lax.broadcasted_iota(jnp.int32, (num_heads * g, sp, sp), 2)
+            if softmax:
+                t = jnp.where(col < s, scores, -jnp.inf)
+                m = jnp.max(t, axis=2, keepdims=True)
+                e = jnp.exp(t - m)
+                w = e / jnp.sum(e, axis=2, keepdims=True)
+            else:
+                w = jnp.where(col < s, scores, 0.0)
+            out = jax.lax.dot_general(
+                w.astype(dtype), vs, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [H*G, SP, dh]
+            msg = jnp.concatenate(
+                [out[h * g : (h + 1) * g] for h in range(num_heads)], axis=2
+            ).reshape(g * sp, d)
+        elif compact:
             # COMPACT per-edge attention: Mosaic lowers batched (3-D)
             # dot_general, so scores/softmax stay [G, SP, SP] — LINEAR in
             # G. The block-diagonal formulation below pays (G*SP)^2 in
@@ -754,7 +796,7 @@ def _fused_edge_sums_chunked(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret", "compact", "overlap", "packed"),
+    static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret", "compact", "overlap", "packed", "stacked"),
 )
 def _fused_edge_sums_v2(
     q_rows: jnp.ndarray,         # [NT*SP, D]
@@ -775,9 +817,12 @@ def _fused_edge_sums_v2(
     compact: bool = True,
     overlap: bool = False,
     packed: Optional[bool] = None,
+    stacked: Optional[bool] = None,
 ):
     if packed is None:
         packed = PACKED_SOFTMAX_DEFAULT
+    if stacked is None:
+        stacked = STACKED_SOFTMAX_DEFAULT
     sp = q_rows.shape[0] // (num_tiles * tile_nodes)
     d = q_rows.shape[1]
     tn = tile_nodes
@@ -801,7 +846,7 @@ def _fused_edge_sums_v2(
         kernel = functools.partial(
             _fused_kernel_vmem_v2,
             s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
-            softmax=softmax, compact=compact, packed=packed,
+            softmax=softmax, compact=compact, packed=packed, stacked=stacked,
         )
         scratch = [
             pltpu.VMEM((tn * sp, d), jnp.float32),
@@ -1162,8 +1207,19 @@ def _pallas_bwd_dynamic(
             dq_parts.append(dq_c)
             fs = tcsr.senders[t0:t1].reshape(-1)
             fv = tcsr.valid[t0:t1].reshape(-1) != 0
-            dkv_nodes_rows = dkv_nodes_rows + segment_sum(
-                stream_c.reshape(ntc * emax, sp, 2 * d), fs, nt, fv)
+            # fold IN PLACE (scatter-add into the accumulator, which XLA
+            # can alias) rather than `acc + segment_sum(...)`: the latter
+            # let the scheduler materialize every chunk's [nt, SP, 2D]
+            # partial before the adds — 6x 2.29 GB live at 1M edges, OOM.
+            contrib = jnp.where(
+                fv[:, None, None], stream_c.reshape(ntc * emax, sp, 2 * d), 0.0
+            )
+            dkv_nodes_rows = dkv_nodes_rows.at[fs].add(contrib)
+            # serialize the chunks: the next pass A reads the barriered
+            # kv_rows, so it cannot be hoisted ahead of this fold — only
+            # one chunk's dK|dV stream is ever live.
+            dkv_nodes_rows, kv_rows = jax.lax.optimization_barrier(
+                (dkv_nodes_rows, kv_rows))
         dq_rows = jnp.concatenate(dq_parts, axis=0) if len(dq_parts) > 1 else dq_parts[0]
         dkv_nodes = dkv_nodes_rows[:n, :s, :]
         dq_nodes = dq_rows[: n * sp].reshape(n, sp, d)[:, :s, :]

@@ -49,14 +49,30 @@ def device_time(fn, *args, iters=10):
 
 @section("HBM bandwidth (copy roofline)")
 def hbm_bw():
-    from bench import time_fn
-
-    nbytes = 1 << 30  # 1 GiB
+    # Device-loop protocol, but timed at k values NOT used during warmup:
+    # the relay deduped repeat-identical (x, k) dispatches of the large
+    # buffer (returned cached results -> 0 ms), which bench.time_fn's
+    # warm-then-retime sequence trips over at GiB sizes.
+    # relay dispatch noise is O(100 ms), so the k contrast must represent
+    # SECONDS of device work: 2000 extra iterations x ~0.65 ms/iter.
+    nbytes = 256 << 20  # 256 MiB buffer -> 512 MiB moved per iteration
     x = jnp.ones(nbytes // 4, jnp.float32)
 
-    t = time_fn(lambda a: a + 1.0, x, iters=5)
-    # read + write = 2x nbytes moved
-    print(f"copy(1GiB add): {t*1e3:.2f} ms -> {2*nbytes/t/1e9:.0f} GB/s "
+    def body(i, a):
+        return a * 0.999 + 0.001  # one read + one write of the buffer
+
+    @jax.jit
+    def run(a, k):
+        return jax.lax.fori_loop(0, k, body, a)
+
+    jax.block_until_ready(run(x, 2))  # compile (k traced: one program)
+    times = {}
+    for k in (100, 2100):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(x, k))
+        times[k] = time.perf_counter() - t0
+    t = (times[2100] - times[100]) / 2000
+    print(f"axpy(256MiB): {t*1e3:.3f} ms/iter -> {2*nbytes/t/1e9:.0f} GB/s "
           f"effective HBM bandwidth", flush=True)
 
 
