@@ -27,7 +27,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ampnet_tpu.ops.pallas.edge_attention_fused import PACKED_SOFTMAX_DEFAULT
 
 
 def _bwd_kernel_vmem(
@@ -206,6 +205,7 @@ def _bwd_kernel_vmem_v2(
     softmax: bool,
     compact: bool = True,
     packed: bool = True,
+    stacked: bool = False,
 ):
     """v2 backward: dynamic per-tile trip count (see _fused_kernel_vmem_v2).
 
@@ -248,7 +248,73 @@ def _bwd_kernel_vmem_v2(
             dmbuf_ref[pl.ds(j * sp, sp), :] = dsum_ref[pl.ds(r * sp, sp), :] * val
 
         dtype = qbuf_ref.dtype
-        if compact and not packed:
+        if compact and stacked:
+            # HEAD-STACKED body (mirrors the fwd kernel's stacked softmax):
+            # heads ride the BATCH axis of the 3-D dots ([H*G, SP, dh]
+            # stacks are axis-0 concats of the per-head lane slices), so
+            # the softmax AND softmax-bwd chains each run ONCE over
+            # [H*G, SP, SP] — 4x fewer VPU op invocations, exact per-head
+            # reference numerics (no matmul denominators).
+            q3 = qbuf_ref[:].reshape(g, sp, d)
+            kv3 = kvbuf_ref[:].reshape(g, sp, 2 * d)
+            dm3 = dmbuf_ref[:].reshape(g, sp, d)
+            sc = jnp.asarray(scale, dtype)
+            qs = jnp.concatenate(
+                [q3[:, :, h * dh : (h + 1) * dh] for h in range(num_heads)],
+                axis=0)
+            ks = jnp.concatenate(
+                [kv3[:, :, h * dh : (h + 1) * dh] for h in range(num_heads)],
+                axis=0)
+            vs = jnp.concatenate(
+                [kv3[:, :, d + h * dh : d + (h + 1) * dh]
+                 for h in range(num_heads)], axis=0)
+            dms = jnp.concatenate(
+                [dm3[:, :, h * dh : (h + 1) * dh] for h in range(num_heads)],
+                axis=0)
+            scores = jax.lax.dot_general(
+                qs * sc, ks, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [H*G, SPq, SPk]
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (num_heads * g, sp, sp), 2)
+            if softmax:
+                ts_ = jnp.where(col < s, scores, -jnp.inf)
+                mx = jnp.max(ts_, axis=2, keepdims=True)
+                ex = jnp.exp(ts_ - mx)
+                w = ex / jnp.sum(ex, axis=2, keepdims=True)
+            else:
+                w = jnp.where(col < s, scores, 0.0)
+            wt = w.astype(dtype)
+            dv_s = jax.lax.dot_general(
+                wt, dms, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [H*G, SPk, dh]
+            dwm = jax.lax.dot_general(
+                dms, vs, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [H*G, SPq, SPk]
+            if softmax:
+                ds_ = w * (dwm - jnp.sum(dwm * w, axis=2, keepdims=True))
+            else:
+                ds_ = jnp.where(col < s, dwm, 0.0)
+            ds_ = ds_.astype(dtype)
+            dq_s = jax.lax.dot_general(
+                ds_, ks, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [H*G, SPq, dh]
+            dk_s = jax.lax.dot_general(
+                ds_, qs, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [H*G, SPk, dh]
+            dq_g = jnp.concatenate(
+                [dq_s[h * g : (h + 1) * g] for h in range(num_heads)], axis=2
+            ).reshape(g * sp, d)
+            dkv_g = jnp.concatenate(
+                [dk_s[h * g : (h + 1) * g] for h in range(num_heads)]
+                + [dv_s[h * g : (h + 1) * g] for h in range(num_heads)],
+                axis=2,
+            ).reshape(g * sp, 2 * d)
+        elif compact and not packed:
             # batched (3-D) dots, one softmax/softmax-bwd chain PER HEAD
             # (exact reference numerics; the packed variant below trades a
             # matmul-computed denominator for fewer VPU passes — A/B'd on
@@ -629,14 +695,27 @@ def _bwd_kernel_dma(
     dq_out_ref[:] = dqacc_ref[:].astype(dq_out_ref.dtype)
 
 
+def fused_edge_bwd_v2(*args, packed=None, stacked=None, **kw):
+    """Resolve env-default body flags OUTSIDE the jit boundary (static
+    args resolved inside the traced function would let a flipped module
+    default silently hit a stale cached program)."""
+    from ampnet_tpu.ops.pallas import edge_attention_fused as _eaf
+
+    if packed is None:
+        packed = _eaf.PACKED_SOFTMAX_DEFAULT
+    if stacked is None:
+        stacked = _eaf.STACKED_SOFTMAX_DEFAULT
+    return _fused_edge_bwd_v2_impl(*args, packed=packed, stacked=stacked, **kw)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax",
-        "s", "interpret", "compact", "packed",
+        "s", "interpret", "compact", "packed", "stacked",
     ),
 )
-def fused_edge_bwd_v2(
+def _fused_edge_bwd_v2_impl(
     q_rows: jnp.ndarray,      # [Nt*SP, D]
     kv_rows: jnp.ndarray,     # [Nt*SP, 2D]
     dsum_rows: jnp.ndarray,   # [Nt*SP, D]
@@ -654,7 +733,8 @@ def fused_edge_bwd_v2(
     s: int,
     interpret: bool = False,
     compact: bool = True,
-    packed: Optional[bool] = None,
+    packed: bool = False,
+    stacked: bool = False,
 ):
     """v2 (dynamic trip counts): returns (dq_rows [Nt*SP, D] f32,
     dkv_stream [T*EG*SP, 2D] f32) with EG = ceil(EMAX/G)*G rows per tile.
@@ -667,12 +747,10 @@ def fused_edge_bwd_v2(
     ngroups = ((tile_counts.astype(jnp.int32) + group - 1) // group).reshape(
         1, num_tiles
     )
-    if packed is None:
-        packed = PACKED_SOFTMAX_DEFAULT
     kernel = functools.partial(
         _bwd_kernel_vmem_v2,
         s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
-        softmax=softmax, compact=compact, packed=packed,
+        softmax=softmax, compact=compact, packed=packed, stacked=stacked,
     )
     return pl.pallas_call(
         kernel,

@@ -794,11 +794,23 @@ def _fused_edge_sums_chunked(
     )(ncounts, senders, chunk_recv, valid, q_rows, kv_rows)
 
 
+def _fused_edge_sums_v2(*args, packed=None, stacked=None, **kw):
+    """Resolve the env-default body flags OUTSIDE the jit boundary: they
+    are static args, and resolving a None default inside the traced
+    function would let a flipped module default silently hit the stale
+    cached program."""
+    if packed is None:
+        packed = PACKED_SOFTMAX_DEFAULT
+    if stacked is None:
+        stacked = STACKED_SOFTMAX_DEFAULT
+    return _fused_edge_sums_v2_impl(*args, packed=packed, stacked=stacked, **kw)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret", "compact", "overlap", "packed", "stacked"),
 )
-def _fused_edge_sums_v2(
+def _fused_edge_sums_v2_impl(
     q_rows: jnp.ndarray,         # [NT*SP, D]
     kv_rows: jnp.ndarray,        # [N*SP, 2D]
     tile_senders: jnp.ndarray,   # [T, 1, EMAX] int32
@@ -816,13 +828,9 @@ def _fused_edge_sums_v2(
     interpret: bool = False,
     compact: bool = True,
     overlap: bool = False,
-    packed: Optional[bool] = None,
-    stacked: Optional[bool] = None,
+    packed: bool = False,
+    stacked: bool = False,
 ):
-    if packed is None:
-        packed = PACKED_SOFTMAX_DEFAULT
-    if stacked is None:
-        stacked = STACKED_SOFTMAX_DEFAULT
     sp = q_rows.shape[0] // (num_tiles * tile_nodes)
     d = q_rows.shape[1]
     tn = tile_nodes

@@ -79,7 +79,10 @@ def optimized(x, senders, receivers, p, num_heads):
     return out
 
 
-def time_fn(fn, x, *args, k1=2, k2=12, iters=None, warmup=None):
+_TIME_FN_SALT = [0]
+
+
+def time_fn(fn, x, *args, k1=2, k2=32, iters=None, warmup=None):
     """Device-loop timing: run K chained iterations inside ONE jitted
     lax.fori_loop dispatch and difference two K values.
 
@@ -89,10 +92,14 @@ def time_fn(fn, x, *args, k1=2, k2=12, iters=None, warmup=None):
     iteration count. A single dispatch whose body chains each iteration's
     input through the previous output forces the device to execute every
     step; (T(k2) - T(k1)) / (k2 - k1) is pure per-iteration device time.
+
+    Dedupe defenses (measured: the relay can serve a repeat-identical
+    (program, args) dispatch from cache -> 0 ms): every TIMED dispatch
+    uses k values never dispatched before in this process (a global salt;
+    k is traced so the compiled program is shared), and the k contrast
+    defaults to 30 iterations so the signal clears relay jitter.
     (iters/warmup accepted for API compat; unused.)
     """
-    import functools
-
     import jax
 
     def body(i, x):
@@ -105,14 +112,15 @@ def time_fn(fn, x, *args, k1=2, k2=12, iters=None, warmup=None):
         # through the TPU relay are expensive — minutes per program)
         return jax.lax.fori_loop(0, k, body, x)
 
-    for k in (k1, k2):
-        jax.block_until_ready(run(x, k))  # compile once + warm both counts
+    jax.block_until_ready(run(x, k1))  # compile + warm
+    salt = _TIME_FN_SALT[0] = _TIME_FN_SALT[0] + 1
+    ka, kb = k1 + 2 * salt, k2 + 2 * salt + 1  # fresh k values every call
     t0 = time.perf_counter()
-    jax.block_until_ready(run(x, k1))
+    jax.block_until_ready(run(x, ka))
     t1 = time.perf_counter()
-    jax.block_until_ready(run(x, k2))
+    jax.block_until_ready(run(x, kb))
     t2 = time.perf_counter()
-    return max(((t2 - t1) - (t1 - t0)) / (k2 - k1), 1e-9)
+    return max(((t2 - t1) - (t1 - t0)) / (kb - ka), 1e-9)
 
 
 def main():
@@ -144,8 +152,11 @@ def main():
             )
             p = MHAParams(params["w_qkv"], params["b_qkv"], params["w_out"], params["b_out"])
             print("bench: timing fused Pallas path...", file=sys.stderr)
-            t_opt = time_fn(lambda xx: fused(xx, p), x, iters=iters)
-            print(f"bench: pallas {t_opt*1e3:.2f} ms", file=sys.stderr)
+            ts = sorted(time_fn(lambda xx: fused(xx, p), x, iters=iters)
+                        for _ in range(5))
+            t_opt = ts[2]  # median of 5: relay tenancy jitter is ~+-20%
+            print(f"bench: pallas {t_opt*1e3:.2f} ms "
+                  f"(5 reps: {['%.2f' % (u*1e3) for u in ts]})", file=sys.stderr)
     except Exception as err:
         print(f"pallas path unavailable: {type(err).__name__}: {err}", file=sys.stderr)
 
@@ -159,11 +170,13 @@ def main():
 
     try:
         print("bench: timing naive reference-order baseline...", file=sys.stderr)
-        t_naive = time_fn(
+        tns = sorted(time_fn(
             lambda *a: naive_reference_order(*a, h), x, senders, receivers, params,
             iters=iters,
-        )
-        print(f"bench: naive {t_naive*1e3:.2f} ms", file=sys.stderr)
+        ) for _ in range(3))
+        t_naive = tns[1]
+        print(f"bench: naive {t_naive*1e3:.2f} ms "
+              f"(3 reps: {['%.2f' % (u*1e3) for u in tns]})", file=sys.stderr)
     except Exception as err:
         print(f"baseline timing failed: {type(err).__name__}: {err}", file=sys.stderr)
 

@@ -41,7 +41,7 @@ def main():
     results = {}
     ref = None
     for stacked in (False, True):
-        for g in ((32,) if not stacked else (16, 32, 64, 96)):
+        for g in ((32,) if not stacked else (96, 128, 160, 192)):
             eaf.STACKED_SOFTMAX_DEFAULT = stacked
             orig_auto = eaf._auto_group
             eaf._auto_group = lambda sp, emax, gather, _g=g: (
@@ -59,9 +59,11 @@ def main():
                     err = float(np.max(np.abs(np.asarray(out) - ref)))
                 name = f"{'stacked' if stacked else 'perhead'} g={g}"
                 log(f"timing {name} (err {err:.1e}) ...")
-                t = time_fn(lambda xx: fused(xx, p), x)
+                ts = sorted(time_fn(lambda xx: fused(xx, p), x) for _ in range(3))
+                t = ts[1]
                 results[name] = round(t * 1e3, 4)
-                log(f"  {name}: {t*1e3:.3f} ms ({e/t/1e6:.2f} M edges/s)")
+                log(f"  {name}: {t*1e3:.3f} ms median of "
+                    f"{['%.2f' % (u*1e3) for u in ts]} ({e/t/1e6:.2f} M edges/s)")
             except Exception as exc:
                 results[f"{'stacked' if stacked else 'perhead'} g={g}"] = (
                     f"ERR {type(exc).__name__}: {str(exc).splitlines()[0][:120]}")

@@ -67,6 +67,28 @@ def test_fused_kernel_parity_interpret(rng, softmax, gather):
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("softmax", [True, False])
+def test_stacked_body_parity_interpret(rng, softmax, monkeypatch):
+    """Head-STACKED compact softmax body (heads batched on axis 0 of one
+    3-D dot; AMPNET_STACKED_SOFTMAX) matches the XLA reference."""
+    from ampnet_tpu.ops.pallas import edge_attention_fused as eaf
+
+    monkeypatch.setattr(eaf, "STACKED_SOFTMAX_DEFAULT", True)
+    x, senders, receivers, mask = build_case(rng)
+    params = make_params(rng)
+    tcsr = build_tiled_csr(senders, receivers, mask, 16, tile_nodes=8, group=4)
+
+    fused = amp_edge_attention_pallas_core(
+        x, params, tcsr, jnp.asarray(receivers), jnp.asarray(mask),
+        H, softmax=softmax, gather="vmem", interpret=True,
+    )
+    ref, _ = amp_edge_attention(
+        x, jnp.asarray(senders), jnp.asarray(receivers), jnp.asarray(mask),
+        params, H, softmax=softmax, return_weights=False,
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
 def test_chunked_kernel_parity_interpret(rng):
     """v5 receiver-chunked kernel == v2 edge-group kernel (interpret).
 

@@ -124,3 +124,12 @@ def test_dma_bwd_stream_chunking_matches_unchunked(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(gp1.w_qkv), np.asarray(gp2.w_qkv),
                                rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("softmax", [True, False])
+def test_fused_bwd_stacked_matches_xla_vjp(rng, softmax, monkeypatch):
+    """Head-STACKED backward body (AMPNET_STACKED_SOFTMAX) parity."""
+    from ampnet_tpu.ops.pallas import edge_attention_fused as eaf
+
+    monkeypatch.setattr(eaf, "STACKED_SOFTMAX_DEFAULT", True)
+    test_fused_bwd_matches_xla_vjp(rng, softmax)
