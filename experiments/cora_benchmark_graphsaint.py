@@ -20,7 +20,7 @@ TRAIN_AMPCONV = True  # reference switch at :27
 
 
 def main(epochs=50, steps_per_epoch=200, train_ampconv=TRAIN_AMPCONV, run_base="runs",
-         fused=False, stabilized=False):
+         fused=False, stabilized=False, decay_lr=False):
     np.random.seed(1)  # reference seeds :20-23
     d, full_g = cora_graph()
     sampler = GraphSaintRandomWalkSampler(
@@ -63,9 +63,14 @@ def main(epochs=50, steps_per_epoch=200, train_ampconv=TRAIN_AMPCONV, run_base="
         # full-batch-grade LR + grad clip + TF-IDF tokens + per-epoch
         # best-val selection + ensemble eval bring the subgraph path to
         # full-batch-level accuracy.
+        # single-cycle cosine decay over the whole run (t_mult=1, no
+        # restart): the constant-LR run peaked at ~epoch 20 then overfit
+        # the subgraph stream; decaying into the peak holds it.
         tcfg = TrainConfig(
             learning_rate=3e-3, weight_decay=5e-4, epochs=epochs,
-            cosine_t0=None, grad_clip=1.0, checkpoint_every=10,
+            cosine_t0=(epochs * steps_per_epoch if decay_lr else None),
+            cosine_t_mult=1,
+            grad_clip=1.0, checkpoint_every=10,
             run_dir=run_dir, select_best_every=1, num_eval_samples=8,
             log_every_steps=50, saint_loss="mean",
         )
@@ -91,6 +96,9 @@ if __name__ == "__main__":
     p.add_argument("--stabilized", action="store_true",
                    help="the framework's stable SAINT recipe (the default "
                         "replicates the reference's diverging lr=0.1 schedule)")
+    p.add_argument("--decay-lr", action="store_true",
+                   help="with --stabilized: single-cycle cosine LR decay "
+                        "over the full run")
     a = p.parse_args()
     main(a.epochs, a.steps, train_ampconv=not a.gcn, fused=a.fused,
-         stabilized=a.stabilized)
+         stabilized=a.stabilized, decay_lr=a.decay_lr)
