@@ -236,12 +236,17 @@ def _bwd_kernel_vmem_v2(
 
     def body(gi, _):
         slot = jax.lax.rem(gi, 2)
+        # SMEM scalar reads cached across the gather and dq-accumulate
+        # loops (traced values survive the Python loop boundary)
+        r_cache, v_cache = [], []
         for j in range(g):
             idx = jnp.minimum(gi * g + j, emax - 1)
             ns = senders_ref[0, 0, idx]
             r = recv_ref[0, 0, idx]
             dup = (gi * g + j) > idx
             val = jnp.where(dup, 0, valid_ref[0, 0, idx]).astype(q_ref.dtype)
+            r_cache.append(r)
+            v_cache.append(val)
             kvbuf_ref[pl.ds(j * sp, sp), :] = kv_ref[pl.ds(ns * sp, sp), :]
             qbuf_ref[pl.ds(j * sp, sp), :] = q_ref[pl.ds(r * sp, sp), :]
             # invalid/ragged edges contribute nothing: zero their dMsg rows
@@ -518,10 +523,8 @@ def _bwd_kernel_vmem_v2(
         stream_dma(gi, slot).start()
 
         for j in range(g):
-            idx = jnp.minimum(gi * g + j, emax - 1)
-            r = recv_ref[0, 0, idx]
-            dup = (gi * g + j) > idx
-            val = jnp.where(dup, 0, valid_ref[0, 0, idx]).astype(jnp.float32)
+            r = r_cache[j]
+            val = v_cache[j].astype(jnp.float32)
             block = dq_g[j * sp : (j + 1) * sp, :] * val
             cur = dqacc_ref[pl.ds(r * sp, sp), :]
             dqacc_ref[pl.ds(r * sp, sp), :] = cur + block

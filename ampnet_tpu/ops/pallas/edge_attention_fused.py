@@ -314,10 +314,20 @@ def _fused_kernel_vmem_v2(
         block_mask = (blk_row == blk_col) & (col_tok < s)
 
     def body(gi, _):
+        # SMEM scalar reads are cached across the gather and scatter
+        # loops (the traced values survive the Python loop boundary) —
+        # re-reading idx/r/valid in the scatter loop doubled the
+        # per-edge scalar-op count.
+        rs, vals = [], []
         for j in range(g):
             idx = jnp.minimum(gi * g + j, emax - 1)
             ns = senders_ref[0, 0, idx]
             r = recv_ref[0, 0, idx]
+            # clamped duplicate slots re-read a live edge; the guard
+            # zeroes them so they contribute nothing
+            dup = (gi * g + j) > idx
+            vals.append(jnp.where(dup, 0, valid_ref[0, 0, idx]).astype(jnp.float32))
+            rs.append(r)
             kvbuf_ref[pl.ds(j * sp, sp), :] = kv_ref[pl.ds(ns * sp, sp), :]
             qbuf_ref[pl.ds(j * sp, sp), :] = q_ref[pl.ds(r * sp, sp), :]
 
@@ -473,15 +483,9 @@ def _fused_kernel_vmem_v2(
             msg = jnp.concatenate(out_blocks, axis=1)
 
         for j in range(g):
-            idx = jnp.minimum(gi * g + j, emax - 1)
-            r = recv_ref[0, 0, idx]
-            # clamped duplicate slots re-read a live edge; the guard below
-            # zeroes them so they contribute nothing
-            dup = (gi * g + j) > idx
-            val = jnp.where(dup, 0, valid_ref[0, 0, idx]).astype(jnp.float32)
-            block = msg[j * sp : (j + 1) * sp, :] * val
-            cur = acc_ref[pl.ds(r * sp, sp), :]
-            acc_ref[pl.ds(r * sp, sp), :] = cur + block
+            block = msg[j * sp : (j + 1) * sp, :] * vals[j]
+            cur = acc_ref[pl.ds(rs[j] * sp, sp), :]
+            acc_ref[pl.ds(rs[j] * sp, sp), :] = cur + block
         return 0
 
     jax.lax.fori_loop(0, ng_ref[0, pl.program_id(0)], body, 0)
