@@ -22,7 +22,7 @@ from ampnet_tpu.parallel import make_dp_train_step, make_mesh, shard_batch, stac
 from ampnet_tpu.train import create_train_state, make_eval_step, make_optimizer
 
 
-def main(epochs=30, steps=10, n_shards=None):
+def main(epochs=30, steps=10, n_shards=None, tiny=False):
     start_time = time.time()
     d, full_g = cora_graph()
     n_shards = n_shards or len(jax.devices())
@@ -30,20 +30,26 @@ def main(epochs=30, steps=10, n_shards=None):
 
     # per-shard independent GraphSAINT streams (reference :64-65, but with
     # explicit per-shard seeds instead of shared RNG state)
-    pad_n, pad_e = 4096, 32768
+    # --tiny: smoke-scale config — the full Cora-scale DP program takes
+    # >30 min of XLA *CPU* compile on a virtual 8-device mesh (fine on
+    # real TPUs); tiny proves the driver end-to-end in ~a minute.
+    pad_n, pad_e = (512, 2048) if tiny else (4096, 32768)
     samplers = [
         GraphSaintRandomWalkSampler(
             d.x, d.edge_index, y=d.y,
             train_mask=d.train_mask, val_mask=d.val_mask, test_mask=d.test_mask,
-            batch_size=20, walk_length=200, num_steps=steps, sample_coverage=50,
+            batch_size=4 if tiny else 20, walk_length=20 if tiny else 200,
+            num_steps=steps, sample_coverage=5 if tiny else 50,
             pad_nodes_to=pad_n, pad_edges_to=pad_e, seed=100 + i,
         )
         for i in range(n_shards)
     ]
 
     cfg = AMPGCNConfig(
-        embedding_dim=128, num_heads=4, num_node_features=1433,
-        num_sampled_vectors=20, output_dim=7, feat_emb_dim=127, val_emb_dim=1,
+        embedding_dim=16 if tiny else 128, num_heads=2 if tiny else 4,
+        num_node_features=1433,
+        num_sampled_vectors=4 if tiny else 20, output_dim=7,
+        feat_emb_dim=15 if tiny else 127, val_emb_dim=1,
     )
     model = AMPGCN(config=cfg)
     tx = make_optimizer(1e-3, cosine_t0=None)
@@ -70,5 +76,8 @@ if __name__ == "__main__":
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--shards", type=int, default=None)
+    p.add_argument("--tiny", action="store_true",
+                   help="smoke-scale config (CPU-mesh compile is slow at "
+                        "full scale)")
     a = p.parse_args()
-    main(a.epochs, a.steps, a.shards)
+    main(a.epochs, a.steps, a.shards, tiny=a.tiny)
