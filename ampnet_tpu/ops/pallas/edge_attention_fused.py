@@ -61,6 +61,17 @@ from ampnet_tpu.ops.segment import segment_count
 # precision) — so per-head is the default. AMPNET_PACKED_SOFTMAX=1 opts in.
 PACKED_SOFTMAX_DEFAULT = os.environ.get("AMPNET_PACKED_SOFTMAX", "0") == "1"
 STACKED_SOFTMAX_DEFAULT = os.environ.get("AMPNET_STACKED_SOFTMAX", "0") == "1"
+# v6 whole-layer fusion (in-kernel QKV/out projections): default ON for
+# inference/primal forwards on the vmem path when the x + projected-K|V
+# residents fit the VMEM budget
+FUSE_PROJ_DEFAULT = os.environ.get("AMPNET_FUSE_PROJ", "1") == "1"
+_V6_VMEM_LIMIT = int(os.environ.get("AMPNET_V6_VMEM_LIMIT", 120 * 1024 * 1024))
+
+
+def _v6_fits(n_rows: int, d: int, itemsize: int) -> bool:
+    """x resident [R, D] + kvscr scratch [R, 2D] (+ ~4 MB of tile-sized
+    buffers) must fit the raised v6 VMEM budget."""
+    return n_rows * 3 * d * itemsize + 4 * 1024 * 1024 <= _V6_VMEM_LIMIT
 
 
 def pallas_available() -> bool:
@@ -263,17 +274,14 @@ def _fused_kernel_vmem(
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _fused_kernel_vmem_v2(
-    ng_ref,        # SMEM [1, T] int32: live edge-group counts (ALL tiles;
-    #                a (1,1) blocked scalar violates Mosaic's SMEM block
-    #                rules — index by program_id instead)
+def _tile_attention_accumulate(
+    ng,            # scalar int32: live edge-group trip count for this tile
     senders_ref,   # SMEM [1, 1, EMAX] int32 global sender ids
     recv_ref,      # SMEM [1, 1, EMAX] int32 local receiver row
     valid_ref,     # SMEM [1, 1, EMAX] int32 0/1 (may carry RUNTIME masks)
-    q_ref,         # VMEM [TN*SP, D]
-    kv_ref,        # VMEM [N*SP, 2D] resident
-    out_ref,       # VMEM [TN*SP, D]
-    acc_ref,       # scratch VMEM [TN*SP, D] f32
+    q_src,         # VMEM ref [TN*SP, D] projected Q rows (input or scratch)
+    kv_src,        # VMEM ref [N*SP, 2D] projected K|V rows (input or scratch)
+    acc_ref,       # scratch VMEM [TN*SP, D] f32 accumulator
     qbuf_ref,      # scratch VMEM [G*SP, D]
     kvbuf_ref,     # scratch VMEM [G*SP, 2D]
     *,
@@ -287,8 +295,13 @@ def _fused_kernel_vmem_v2(
     compact: bool = True,
     packed: bool = True,
     stacked: bool = False,
+    invdeg_ref=None,  # SMEM [1, 1, TN] f32 — when given, each edge's
+    # accumulate is pre-scaled by its receiver's 1/degree so acc holds the
+    # segment MEAN (the v6 fused-epilogue path); degree-0 receivers carry 0
 ):
-    """v2: the group loop runs a DYNAMIC per-tile trip count (ceil(live
+    """Shared tile body: gather -> per-edge attention -> accumulate.
+
+    The group loop runs a DYNAMIC per-tile trip count (ceil(live
     edges / G) from SMEM), so
 
       * fully-padded groups cost zero iterations (v1 paid a branch per
@@ -326,10 +339,15 @@ def _fused_kernel_vmem_v2(
             # clamped duplicate slots re-read a live edge; the guard
             # zeroes them so they contribute nothing
             dup = (gi * g + j) > idx
-            vals.append(jnp.where(dup, 0, valid_ref[0, 0, idx]).astype(jnp.float32))
+            v = jnp.where(dup, 0, valid_ref[0, 0, idx]).astype(jnp.float32)
+            if invdeg_ref is not None:
+                # scalar x scalar: folds the mean normalization into the
+                # existing validity multiply at zero extra vector work
+                v = v * invdeg_ref[0, 0, r]
+            vals.append(v)
             rs.append(r)
-            kvbuf_ref[pl.ds(j * sp, sp), :] = kv_ref[pl.ds(ns * sp, sp), :]
-            qbuf_ref[pl.ds(j * sp, sp), :] = q_ref[pl.ds(r * sp, sp), :]
+            kvbuf_ref[pl.ds(j * sp, sp), :] = kv_src[pl.ds(ns * sp, sp), :]
+            qbuf_ref[pl.ds(j * sp, sp), :] = q_src[pl.ds(r * sp, sp), :]
 
         dtype = qbuf_ref.dtype
         if compact and stacked:
@@ -488,8 +506,141 @@ def _fused_kernel_vmem_v2(
             acc_ref[pl.ds(rs[j] * sp, sp), :] = cur + block
         return 0
 
-    jax.lax.fori_loop(0, ng_ref[0, pl.program_id(0)], body, 0)
+    jax.lax.fori_loop(0, ng, body, 0)
+
+
+def _fused_kernel_vmem_v2(
+    ng_ref,        # SMEM [1, T] int32: live edge-group counts (ALL tiles;
+    #                a (1,1) blocked scalar violates Mosaic's SMEM block
+    #                rules — index by program_id instead)
+    senders_ref,   # SMEM [1, 1, EMAX] int32 global sender ids
+    recv_ref,      # SMEM [1, 1, EMAX] int32 local receiver row
+    valid_ref,     # SMEM [1, 1, EMAX] int32 0/1 (may carry RUNTIME masks)
+    q_ref,         # VMEM [TN*SP, D]
+    kv_ref,        # VMEM [N*SP, 2D] resident
+    out_ref,       # VMEM [TN*SP, D]
+    acc_ref,       # scratch VMEM [TN*SP, D] f32
+    qbuf_ref,      # scratch VMEM [G*SP, D]
+    kvbuf_ref,     # scratch VMEM [G*SP, 2D]
+    *,
+    s: int,
+    sp: int,
+    d: int,
+    num_heads: int,
+    group: int,
+    emax: int,
+    softmax: bool,
+    compact: bool = True,
+    packed: bool = True,
+    stacked: bool = False,
+):
+    """v2: per-edge attention + segment-SUM over projected q/kv inputs
+    (see _tile_attention_accumulate for the tile-body contract)."""
+    _tile_attention_accumulate(
+        ng_ref[0, pl.program_id(0)], senders_ref, recv_ref, valid_ref,
+        q_ref, kv_ref, acc_ref, qbuf_ref, kvbuf_ref,
+        s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
+        softmax=softmax, compact=compact, packed=packed, stacked=stacked,
+    )
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _fused_kernel_vmem_v6(
+    ng_ref,        # SMEM [1, T] int32 live edge-group counts (all tiles)
+    senders_ref,   # SMEM [1, 1, EMAX] int32 global sender ids
+    recv_ref,      # SMEM [1, 1, EMAX] int32 local receiver row
+    valid_ref,     # SMEM [1, 1, EMAX] int32 0/1 (may carry RUNTIME masks)
+    invdeg_ref,    # SMEM [1, 1, TN] f32 1/degree per local node (0 if deg 0)
+    x_ref,         # VMEM [NT*SP, D] resident RAW token rows (pre-projection)
+    wqkv_ref,      # VMEM [D, 3D]
+    bqkv_ref,      # VMEM [1, 3D]
+    wout_ref,      # VMEM [D, D]
+    bout_ref,      # VMEM [1, D]
+    out_ref,       # VMEM [TN*SP, D] per tile — FINAL layer output rows
+    kvscr_ref,     # scratch VMEM [NT*SP, 2D] projected K|V — built at grid
+    #                step 0 and PERSISTS across the sequential tile grid
+    qscr_ref,      # scratch VMEM [TN*SP, D] this tile's projected Q
+    acc_ref,       # scratch VMEM [TN*SP, D] f32
+    qbuf_ref,      # scratch VMEM [G*SP, D]
+    kvbuf_ref,     # scratch VMEM [G*SP, 2D]
+    *,
+    s: int,
+    sp: int,
+    d: int,
+    num_heads: int,
+    group: int,
+    emax: int,
+    softmax: bool,
+    tile_nodes: int,
+    compact: bool = True,
+    packed: bool = True,
+    stacked: bool = False,
+):
+    """v6: the WHOLE layer in one kernel — QKV in-projection, per-edge
+    attention, mean aggregation, and the output projection.
+
+    v2/v3 read XLA-materialized q/kv rows from HBM; at Cora scale that
+    projection round-trips ~200 MB of qkv through HBM (measured ~0.3 ms
+    of the 1.43 ms full op) and the mean/out-proj epilogue another
+    ~100 MB. v6's inputs are the RAW token rows (one 33 MB resident
+    block):
+
+      * grid step 0 projects K|V for ALL nodes into a persistent VMEM
+        scratch (tile-chunked matmul; the grid is sequential on one core,
+        so later tiles see the full projection);
+      * each tile projects its OWN Q rows (exactly-once overall);
+      * the mean normalization folds into the per-edge validity scalar
+        (invdeg = 1/degree, computed host/XLA-side from the runtime edge
+        mask) — acc holds the segment MEAN at no extra vector work;
+      * the epilogue right-multiplies by w_out on the MXU and adds b_out
+        per live node (degree-0 receivers stay exactly 0, matching the
+        XLA path's where(count>0) semantics).
+
+    Replaces the op at reference amp_conv.py:35-49 end-to-end."""
+    t = pl.program_id(0)
+    tn = tile_nodes
+    rows = tn * sp
+
+    @pl.when(t == 0)
+    def _project_kv():
+        # tile-row-chunked so each dot is MXU-sized; one pass over x
+        def chunk(i, _):
+            xc = x_ref[pl.ds(i * rows, rows), :]
+            kv = jax.lax.dot_general(
+                xc, wqkv_ref[:, d:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bqkv_ref[0:1, d:]
+            kvscr_ref[pl.ds(i * rows, rows), :] = kv.astype(kvscr_ref.dtype)
+            return 0
+        jax.lax.fori_loop(0, pl.num_programs(0), chunk, 0)
+
+    xq = x_ref[pl.ds(t * rows, rows), :]
+    q = jax.lax.dot_general(
+        xq, wqkv_ref[:, :d], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[0:1, :d]
+    qscr_ref[:] = q.astype(qscr_ref.dtype)
+
+    _tile_attention_accumulate(
+        ng_ref[0, t], senders_ref, recv_ref, valid_ref,
+        qscr_ref, kvscr_ref, acc_ref, qbuf_ref, kvbuf_ref,
+        s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
+        softmax=softmax, compact=compact, packed=packed, stacked=stacked,
+        invdeg_ref=invdeg_ref,
+    )
+
+    mean = acc_ref[:].astype(x_ref.dtype)
+    out = jax.lax.dot_general(
+        mean, wout_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[:] = out.astype(out_ref.dtype)
+    for j in range(tn):
+        # bias only for live nodes: degree-0 rows hold acc==0 -> out==0,
+        # and skipping their bias keeps the XLA path's exact zeros
+        flag = (invdeg_ref[0, 0, j] > 0.0).astype(out_ref.dtype)
+        blk = out_ref[pl.ds(j * sp, sp), :]
+        out_ref[pl.ds(j * sp, sp), :] = blk + bout_ref[0:1, :] * flag
 
 
 def _fused_kernel_vmem_v4(
@@ -886,6 +1037,91 @@ def _fused_edge_sums_v2_impl(
     )(ngroups, tile_senders, tile_recv, tile_valid, q_rows, kv_rows)
 
 
+def _fused_attention_out_v6(*args, packed=None, stacked=None, **kw):
+    """Env-default body flags resolved outside jit (see _fused_edge_sums_v2)."""
+    if packed is None:
+        packed = PACKED_SOFTMAX_DEFAULT
+    if stacked is None:
+        stacked = STACKED_SOFTMAX_DEFAULT
+    return _fused_attention_out_v6_impl(*args, packed=packed, stacked=stacked, **kw)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "softmax", "tile_nodes", "group",
+                     "num_tiles", "emax", "s", "interpret", "compact",
+                     "packed", "stacked"),
+)
+def _fused_attention_out_v6_impl(
+    x_rows: jnp.ndarray,         # [NT*SP, D] raw token rows (pre-projection)
+    w_qkv: jnp.ndarray,          # [D, 3D]
+    b_qkv: jnp.ndarray,          # [1, 3D]
+    w_out: jnp.ndarray,          # [D, D]
+    b_out: jnp.ndarray,          # [1, D]
+    tile_senders: jnp.ndarray,   # [T, 1, EMAX] int32
+    tile_recv: jnp.ndarray,      # [T, 1, EMAX]
+    tile_valid: jnp.ndarray,     # [T, 1, EMAX]
+    tile_counts: jnp.ndarray,    # [T] int32 STRUCTURAL live-edge counts
+    invdeg: jnp.ndarray,         # [T, 1, TN] f32 1/degree (0 where deg 0)
+    *,
+    num_heads: int,
+    softmax: bool,
+    tile_nodes: int,
+    group: int,
+    num_tiles: int,
+    emax: int,
+    s: int,
+    interpret: bool = False,
+    compact: bool = True,
+    packed: bool = False,
+    stacked: bool = False,
+):
+    """Whole-layer fused op (v6 kernel): raw rows in, layer output rows out."""
+    sp = x_rows.shape[0] // (num_tiles * tile_nodes)
+    d = x_rows.shape[1]
+    tn = tile_nodes
+    ngroups = ((tile_counts.astype(jnp.int32) + group - 1) // group).reshape(
+        1, num_tiles
+    )
+    kernel = functools.partial(
+        _fused_kernel_vmem_v6,
+        s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
+        softmax=softmax, tile_nodes=tn, compact=compact, packed=packed,
+        stacked=stacked,
+    )
+    scratch = [
+        pltpu.VMEM((num_tiles * tn * sp, 2 * d), x_rows.dtype),  # kvscr
+        pltpu.VMEM((tn * sp, d), x_rows.dtype),                  # qscr
+        pltpu.VMEM((tn * sp, d), jnp.float32),                   # acc
+        pltpu.VMEM((group * sp, d), x_rows.dtype),               # qbuf
+        pltpu.VMEM((group * sp, 2 * d), x_rows.dtype),           # kvbuf
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, num_tiles), lambda t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, tn), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((x_rows.shape[0], d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn * sp, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_tiles * tn * sp, d), x_rows.dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_V6_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(ngroups, tile_senders, tile_recv, tile_valid, invdeg,
+      x_rows, w_qkv, b_qkv, w_out, b_out)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "gather", "interpret"),
@@ -980,18 +1216,47 @@ def amp_edge_attention_pallas_core(
     sp = -(-s // align) * align
     if sp != s:
         x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+
+    n_tiles_nodes = tcsr.num_tiles * tcsr.tile_nodes
+    gather = _resolve_gather(gather, max(n, n_tiles_nodes) * sp, d,
+                             jnp.dtype(x.dtype).itemsize)
+
+    if (FUSE_PROJ_DEFAULT and gather == "vmem"
+            and _v6_fits(max(n, n_tiles_nodes) * sp, d,
+                         jnp.dtype(x.dtype).itemsize)):
+        # v6 whole-layer kernel (see _pallas_core_dynamic): projections +
+        # attention + mean + out-proj in one kernel, no qkv HBM round-trip
+        x_rows = x.reshape(n * sp, d)
+        if n_tiles_nodes > n:
+            x_rows = jnp.pad(x_rows, ((0, (n_tiles_nodes - n) * sp), (0, 0)))
+        count = segment_count(receivers, n, edge_mask)
+        invdeg = jnp.where(count > 0, 1.0 / jnp.maximum(count, 1.0), 0.0)
+        invdeg = jnp.pad(invdeg.astype(jnp.float32),
+                         (0, n_tiles_nodes - n)).reshape(
+            tcsr.num_tiles, 1, tcsr.tile_nodes)
+        counts = (jnp.asarray(tcsr.counts) if tcsr.counts is not None
+                  else _structural_counts(jnp.asarray(tcsr.valid)[:, None, :]))
+        rows = _fused_attention_out_v6(
+            x_rows, params.w_qkv, params.b_qkv.reshape(1, 3 * d),
+            params.w_out, params.b_out.reshape(1, d),
+            jnp.asarray(tcsr.senders)[:, None, :],
+            jnp.asarray(tcsr.recv_local)[:, None, :],
+            jnp.asarray(tcsr.valid)[:, None, :], counts, invdeg,
+            num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
+            group=group if group else _auto_group(sp, tcsr.edges_per_tile, gather),
+            num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
+            interpret=interpret,
+        )
+        return rows[: n * sp].reshape(n, sp, d)[:, :s, :]
+
     qkv = x @ params.w_qkv + params.b_qkv
     q_rows = qkv[..., :d].reshape(n * sp, d)
     kv_rows = qkv[..., d:].reshape(n * sp, 2 * d)
-
-    n_tiles_nodes = tcsr.num_tiles * tcsr.tile_nodes
     if n_tiles_nodes > n:  # pad node rows so the tile grid covers them
         pad = (n_tiles_nodes - n) * sp
         q_rows = jnp.pad(q_rows, ((0, pad), (0, 0)))
         kv_rows = jnp.pad(kv_rows, ((0, pad), (0, 0)))
 
-    gather = _resolve_gather(gather, max(n, n_tiles_nodes) * sp, d,
-                             jnp.dtype(kv_rows.dtype).itemsize)
     if gather == "vmem":
         counts = (jnp.asarray(tcsr.counts) if tcsr.counts is not None
                   else _structural_counts(jnp.asarray(tcsr.valid)[:, None, :]))
@@ -1325,15 +1590,41 @@ def _pallas_core_dynamic(
         # harmless: the kernel masks pad K columns, masked-zero weights
         # null pad V rows, and pad Q rows are sliced off after.
         x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+    n_tiles_nodes = tcsr.num_tiles * tcsr.tile_nodes
+    group = _auto_group(sp, tcsr.edges_per_tile, gather)
+
+    if (FUSE_PROJ_DEFAULT and not return_parts and gather == "vmem"
+            and _v6_fits(n_tiles_nodes * sp, d, jnp.dtype(x.dtype).itemsize)):
+        # v6 whole-layer kernel: raw rows in, layer output out — the QKV
+        # and output projections run in-kernel, skipping the ~300 MB/layer
+        # (Cora scale) of qkv + mean/out-proj HBM round-trips
+        x_rows = x.reshape(n * sp, d)
+        if n_tiles_nodes > n:
+            x_rows = jnp.pad(x_rows, ((0, (n_tiles_nodes - n) * sp), (0, 0)))
+        count = segment_count(receivers, n, edge_mask)
+        invdeg = jnp.where(count > 0, 1.0 / jnp.maximum(count, 1.0), 0.0)
+        invdeg = jnp.pad(invdeg.astype(jnp.float32),
+                         (0, n_tiles_nodes - n)).reshape(
+            tcsr.num_tiles, 1, tcsr.tile_nodes)
+        counts = (tcsr.counts if tcsr.counts is not None
+                  else _structural_counts(tcsr.valid))
+        rows = _fused_attention_out_v6(
+            x_rows, params.w_qkv, params.b_qkv.reshape(1, 3 * d),
+            params.w_out, params.b_out.reshape(1, d),
+            tcsr.senders, tcsr.recv_local, tcsr.valid, counts, invdeg,
+            num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
+            group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile,
+            s=s, interpret=interpret,
+        )
+        return rows[: n * sp].reshape(n, sp, d)[:, :s, :]
+
     qkv = x @ params.w_qkv + params.b_qkv
     q_rows = qkv[..., :d].reshape(n * sp, d)
     kv_rows = qkv[..., d:].reshape(n * sp, 2 * d)
-    n_tiles_nodes = tcsr.num_tiles * tcsr.tile_nodes
     if n_tiles_nodes > n:
         pad = (n_tiles_nodes - n) * sp
         q_rows = jnp.pad(q_rows, ((0, pad), (0, 0)))
         kv_rows = jnp.pad(kv_rows, ((0, pad), (0, 0)))
-    group = _auto_group(sp, tcsr.edges_per_tile, gather)
     if gather == "vmem":
         counts = (tcsr.counts if tcsr.counts is not None
                   else _structural_counts(tcsr.valid))

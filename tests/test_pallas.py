@@ -151,3 +151,77 @@ def test_chunked_layout_roundtrip(rng):
         assert ti == receivers[eid] // tn
         assert ck.valid[ti, pos] == 1
     assert ck.edge_slot[~mask].max(initial=-1) == -1
+
+
+@pytest.mark.parametrize("softmax", [True, False])
+def test_v6_whole_layer_parity_interpret(rng, softmax, monkeypatch):
+    """v6 whole-layer kernel (in-kernel QKV + out projections, fused mean
+    via per-edge invdeg fold) == XLA reference, including runtime edge
+    masks and exact zeros for degree-0 receivers (no stray b_out)."""
+    from ampnet_tpu.ops.pallas import edge_attention_fused as eaf
+
+    monkeypatch.setattr(eaf, "FUSE_PROJ_DEFAULT", True)
+    x, senders, receivers, mask = build_case(rng)
+    # force a degree-0 receiver: node 3 receives nothing
+    receivers = receivers.copy()
+    receivers[receivers == 3] = 4
+    params = make_params(rng)
+    tcsr = build_tiled_csr(senders, receivers, mask, 16, tile_nodes=8, group=4)
+
+    calls = {"v6": 0}
+    orig = eaf._fused_attention_out_v6
+
+    def spy(*a, **k):
+        calls["v6"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(eaf, "_fused_attention_out_v6", spy)
+    fused = eaf.amp_edge_attention_pallas(
+        x, params, jnp.asarray(senders), jnp.asarray(receivers),
+        jnp.asarray(mask), jnp.asarray(tcsr.senders),
+        jnp.asarray(tcsr.recv_local), jnp.asarray(tcsr.valid), H,
+        softmax=softmax, tile_nodes=8, gather="vmem", interpret=True,
+        tile_counts=jnp.asarray(tcsr.counts),
+    )
+    assert calls["v6"] == 1, "v6 branch not taken"
+    ref, _ = amp_edge_attention(
+        x, jnp.asarray(senders), jnp.asarray(receivers), jnp.asarray(mask),
+        params, H, softmax=softmax, return_weights=False,
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+    assert np.all(np.asarray(fused)[3] == 0.0)
+
+
+def test_v6_budget_guard_falls_back(rng, monkeypatch):
+    """Graphs whose x + projected-K|V residents exceed the v6 VMEM budget
+    silently use the v2 split path (no behavior cliff)."""
+    from ampnet_tpu.ops.pallas import edge_attention_fused as eaf
+
+    monkeypatch.setattr(eaf, "FUSE_PROJ_DEFAULT", True)
+    monkeypatch.setattr(eaf, "_V6_VMEM_LIMIT", 4 * 1024 * 1024 + 1)
+    x, senders, receivers, mask = build_case(rng)
+    params = make_params(rng)
+    tcsr = build_tiled_csr(senders, receivers, mask, 16, tile_nodes=8, group=4)
+    calls = {"v6": 0}
+    orig = eaf._fused_attention_out_v6
+
+    def spy(*a, **k):
+        calls["v6"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(eaf, "_fused_attention_out_v6", spy)
+    fused = eaf.amp_edge_attention_pallas(
+        x, params, jnp.asarray(senders), jnp.asarray(receivers),
+        jnp.asarray(mask), jnp.asarray(tcsr.senders),
+        jnp.asarray(tcsr.recv_local), jnp.asarray(tcsr.valid), H,
+        tile_nodes=8, gather="vmem", interpret=True,
+        tile_counts=jnp.asarray(tcsr.counts),
+    )
+    assert calls["v6"] == 0
+    ref, _ = amp_edge_attention(
+        x, jnp.asarray(senders), jnp.asarray(receivers), jnp.asarray(mask),
+        params, H, return_weights=False,
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
