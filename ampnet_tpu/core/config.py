@@ -90,6 +90,12 @@ class AMPGCNConfig:
     # reference's declared next architecture, kept as commented code
     # (amp_gcn.py:409-451); False = the plain conv stack it actually runs
     transformer_block: bool = False
+    # framework extension (not in the reference): concat a z-scored
+    # raw-feature projection to the pooled token embedding before the
+    # classifier head — the token-sampling frontend sees only S of F
+    # features per pass, and the full-feature view closes most of the
+    # measured AMPNet-vs-GCN-raw accuracy gap (RESULTS.md)
+    raw_residual: bool = False
 
     def __post_init__(self):
         if self.embedding_dim != self.feat_emb_dim + self.val_emb_dim:

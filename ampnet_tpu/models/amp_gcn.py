@@ -30,6 +30,7 @@ from ampnet_tpu.core.config import AMPGCNConfig
 from ampnet_tpu.core.graph import Graph
 from ampnet_tpu.models.layers import AMPConv, dropout_edges
 from ampnet_tpu.models.tokenizer import FeatureTokenizer
+from ampnet_tpu.ops.tokenize import standardize
 
 
 @struct.dataclass
@@ -164,6 +165,18 @@ class AMPGCN(nn.Module):
             pooled = jnp.mean(x, axis=1)       # mean over tokens (amp_gcn.py:268)
         else:
             pooled = x[:, 0]                   # CLS token (amp_gcn.py:270)
+
+        if cfg.raw_residual:
+            # Framework extension (see AMPGCNConfig.raw_residual): the
+            # sampling frontend passes S of F features; give the head a
+            # full-feature view via the GCN-raw baseline's z-scored
+            # frontend, projected to D. The attention pathway is
+            # untouched — interpretability outputs stay meaningful.
+            xr = standardize(graph.x, mean=sc_mean, std=sc_std,
+                             node_mask=graph.node_mask)
+            xr = nn.relu(nn.Dense(d, name="raw_residual_proj")(xr))
+            xr = drop("draw", xr)
+            pooled = jnp.concatenate([pooled, xr], axis=-1)
 
         # Deliberate deviation: the reference's head keeps torch Linear's
         # kaiming-uniform default; we use xavier-uniform here (slightly
