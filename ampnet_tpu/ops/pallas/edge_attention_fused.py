@@ -1237,8 +1237,10 @@ def amp_edge_attention_pallas_core(
         counts = (jnp.asarray(tcsr.counts) if tcsr.counts is not None
                   else _structural_counts(jnp.asarray(tcsr.valid)[:, None, :]))
         rows = _fused_attention_out_v6(
-            x_rows, params.w_qkv, params.b_qkv.reshape(1, 3 * d),
-            params.w_out, params.b_out.reshape(1, d),
+            x_rows, params.w_qkv.astype(x.dtype),
+            params.b_qkv.reshape(1, 3 * d).astype(x.dtype),
+            params.w_out.astype(x.dtype),
+            params.b_out.reshape(1, d).astype(x.dtype),
             jnp.asarray(tcsr.senders)[:, None, :],
             jnp.asarray(tcsr.recv_local)[:, None, :],
             jnp.asarray(tcsr.valid)[:, None, :], counts, invdeg,
@@ -1609,8 +1611,10 @@ def _pallas_core_dynamic(
         counts = (tcsr.counts if tcsr.counts is not None
                   else _structural_counts(tcsr.valid))
         rows = _fused_attention_out_v6(
-            x_rows, params.w_qkv, params.b_qkv.reshape(1, 3 * d),
-            params.w_out, params.b_out.reshape(1, d),
+            x_rows, params.w_qkv.astype(x.dtype),
+            params.b_qkv.reshape(1, 3 * d).astype(x.dtype),
+            params.w_out.astype(x.dtype),
+            params.b_out.reshape(1, d).astype(x.dtype),
             tcsr.senders, tcsr.recv_local, tcsr.valid, counts, invdeg,
             num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
             group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile,

@@ -181,3 +181,32 @@ def test_ampgcn_transformer_block_variant(rng):
     for name in ("conv1", "conv2", "post_conv_linear1", "post_conv_linear2"):
         leaf_sum = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(grads[name]))
         assert leaf_sum > 0, name
+
+
+def test_ampgcn_raw_residual(rng):
+    """raw_residual=True adds the full-feature projection params, changes
+    the head input, and keeps logits valid + differentiable."""
+    import dataclasses
+
+    g = tiny_graph(rng)
+    cfg = dataclasses.replace(CFG, raw_residual=True)
+    model = AMPGCN(config=cfg)
+    variables = model.init(init_rngs(), g, deterministic=True)
+    assert "raw_residual_proj" in variables["params"]
+    # head sees pooled (D) + residual (D)
+    assert variables["params"]["final_linear_out"]["kernel"].shape == (16, 3)
+    out = model.apply(variables, g, deterministic=True,
+                      rngs={"sample": jax.random.PRNGKey(1)})
+    np.testing.assert_allclose(np.exp(out.logits).sum(-1), 1.0, rtol=1e-4)
+
+    def loss(p):
+        o = model.apply({"params": p}, g, deterministic=False,
+                        return_aux=False, rngs=init_rngs(1))
+        return -o.logits[np.arange(g.num_nodes_padded), np.asarray(g.y)].mean()
+
+    grads = jax.grad(loss)(variables["params"])
+    gsum = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(np.abs(np.asarray(b)).sum()), grads, 0.0)
+    assert np.isfinite(gsum) and gsum > 0
+    rk = grads["raw_residual_proj"]["kernel"]
+    assert float(np.abs(np.asarray(rk)).sum()) > 0

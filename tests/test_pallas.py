@@ -225,3 +225,30 @@ def test_v6_budget_guard_falls_back(rng, monkeypatch):
     )
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_v6_bfloat16_parity_interpret(rng, monkeypatch):
+    """v6 runs the bf16 compute path (sp aligns to 16; scratches follow
+    x.dtype) within bf16 tolerance of the XLA bf16 reference."""
+    from ampnet_tpu.ops.pallas import edge_attention_fused as eaf
+
+    monkeypatch.setattr(eaf, "FUSE_PROJ_DEFAULT", True)
+    x, senders, receivers, mask = build_case(rng)
+    x = x.astype(jnp.bfloat16)
+    params = make_params(rng)
+    tcsr = build_tiled_csr(senders, receivers, mask, 16, tile_nodes=8, group=4)
+    fused = eaf.amp_edge_attention_pallas(
+        x, params, jnp.asarray(senders), jnp.asarray(receivers),
+        jnp.asarray(mask), jnp.asarray(tcsr.senders),
+        jnp.asarray(tcsr.recv_local), jnp.asarray(tcsr.valid), H,
+        tile_nodes=8, gather="vmem", interpret=True,
+        tile_counts=jnp.asarray(tcsr.counts),
+    )
+    ref, _ = amp_edge_attention(
+        x, jnp.asarray(senders), jnp.asarray(receivers), jnp.asarray(mask),
+        params, H, return_weights=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.05,
+    )
