@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import Any, Optional
 
 
 @dataclass(frozen=True)
@@ -91,11 +91,13 @@ class AMPGCNConfig:
     # (amp_gcn.py:409-451); False = the plain conv stack it actually runs
     transformer_block: bool = False
     # framework extension (not in the reference): concat a z-scored
-    # raw-feature projection to the pooled token embedding before the
+    # raw-feature pathway to the pooled token embedding before the
     # classifier head — the token-sampling frontend sees only S of F
-    # features per pass, and the full-feature view closes most of the
-    # measured AMPNet-vs-GCN-raw accuracy gap (RESULTS.md)
-    raw_residual: bool = False
+    # features per pass. False | 'mlp' (dense projection; measured: it
+    # overfits) | 'gcn' / 'gcn2' (1/2 symmetric-normalized GCN hops over
+    # the raw features — the structure behind the GCN-raw baseline's
+    # 0.830). True is accepted as 'mlp'. See RESULTS.md.
+    raw_residual: Any = False
 
     def __post_init__(self):
         if self.embedding_dim != self.feat_emb_dim + self.val_emb_dim:

@@ -28,7 +28,7 @@ from flax import struct
 
 from ampnet_tpu.core.config import AMPGCNConfig
 from ampnet_tpu.core.graph import Graph
-from ampnet_tpu.models.layers import AMPConv, dropout_edges
+from ampnet_tpu.models.layers import AMPConv, GCNConv, dropout_edges
 from ampnet_tpu.models.tokenizer import FeatureTokenizer
 from ampnet_tpu.ops.tokenize import standardize
 
@@ -170,11 +170,28 @@ class AMPGCN(nn.Module):
             # Framework extension (see AMPGCNConfig.raw_residual): the
             # sampling frontend passes S of F features; give the head a
             # full-feature view via the GCN-raw baseline's z-scored
-            # frontend, projected to D. The attention pathway is
-            # untouched — interpretability outputs stay meaningful.
+            # frontend. Modes: 'mlp' projects raw features directly
+            # (measured: overfits — raw Cora features carry little
+            # signal without neighborhood aggregation); 'gcn'/'gcn2' run
+            # 1/2 symmetric-normalized GCN hops first (the structure
+            # that makes the GCN-raw baseline strong). The attention
+            # pathway is untouched — interpretability outputs stay
+            # meaningful.
+            mode = (cfg.raw_residual if isinstance(cfg.raw_residual, str)
+                    else "mlp")
             xr = standardize(graph.x, mean=sc_mean, std=sc_std,
                              node_mask=graph.node_mask)
-            xr = nn.relu(nn.Dense(d, name="raw_residual_proj")(xr))
+            if mode == "mlp":
+                xr = nn.relu(nn.Dense(d, name="raw_residual_proj")(xr))
+            elif mode in ("gcn", "gcn2"):
+                xr = nn.relu(GCNConv(d, name="raw_residual_conv1")(
+                    xr, graph.senders, graph.receivers, edge_mask))
+                if mode == "gcn2":
+                    xr = drop("draw1", xr)
+                    xr = nn.relu(GCNConv(d, name="raw_residual_conv2")(
+                        xr, graph.senders, graph.receivers, edge_mask))
+            else:
+                raise ValueError(f"unknown raw_residual mode: {mode!r}")
             xr = drop("draw", xr)
             pooled = jnp.concatenate([pooled, xr], axis=-1)
 

@@ -29,11 +29,16 @@ from ampnet_tpu.models import AMPGCN  # noqa: E402
 from ampnet_tpu.ops.tokenize import fit_scaler  # noqa: E402
 from ampnet_tpu.train.loop import train_full_batch  # noqa: E402
 
+# Round 1 of this sweep measured the 'mlp' mode at 0.644/0.654/0.574 —
+# raw features without neighborhood aggregation just overfit (an MLP on
+# Cora-like data is ~0.55-0.6; the GCN-raw baseline's 0.830 comes from
+# the graph). Round 2 gives the residual 1-2 GCN hops.
 CONFIGS = [
-    # (name, dropout, dropout_adj, weight_decay, transformer_block)
-    ("plain_drop0.1_adj0.1_wd5e-4", 0.1, 0.1, 5e-4, False),
-    ("plain_drop0.3_adj0.1_wd1e-3", 0.3, 0.1, 1e-3, False),
-    ("tblock_drop0.3_adj0.2_wd1e-3", 0.3, 0.2, 1e-3, True),
+    # (name, dropout, dropout_adj, weight_decay, transformer_block, mode)
+    ("gcn_drop0.1_adj0.1_wd5e-4", 0.1, 0.1, 5e-4, False, "gcn"),
+    ("gcn2_drop0.1_adj0.1_wd5e-4", 0.1, 0.1, 5e-4, False, "gcn2"),
+    ("gcn2_drop0.3_adj0.1_wd1e-3", 0.3, 0.1, 1e-3, False, "gcn2"),
+    ("mlp_drop0.1_adj0.1_wd5e-4", 0.1, 0.1, 5e-4, False, "mlp"),
 ]
 
 
@@ -49,12 +54,12 @@ def main():
     rows = []
     todo = CONFIGS if not args.configs else [
         c for c in CONFIGS if c[0] in args.configs.split(",")]
-    for name, drop, dadj, wd, tblock in todo:
+    for name, drop, dadj, wd, tblock, mode in todo:
         t0 = time.time()
         cfg = AMPGCNConfig(
             num_sampled_vectors=40, token_sampling="tfidf",
             scaler="precomputed", dropout_rate=drop, dropout_adj_rate=dadj,
-            transformer_block=tblock, raw_residual=True,
+            transformer_block=tblock, raw_residual=mode,
         )
         model = AMPGCN(cfg, scaler_stats=scaler_stats)
         tcfg = TrainConfig(

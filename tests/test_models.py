@@ -183,16 +183,20 @@ def test_ampgcn_transformer_block_variant(rng):
         assert leaf_sum > 0, name
 
 
-def test_ampgcn_raw_residual(rng):
-    """raw_residual=True adds the full-feature projection params, changes
-    the head input, and keeps logits valid + differentiable."""
+@pytest.mark.parametrize("mode,param", [
+    (True, "raw_residual_proj"),          # bool True == 'mlp'
+    ("gcn2", "raw_residual_conv2"),       # 2 GCN hops over raw features
+])
+def test_ampgcn_raw_residual(rng, mode, param):
+    """raw_residual adds the full-feature pathway params, changes the
+    head input, and keeps logits valid + differentiable."""
     import dataclasses
 
     g = tiny_graph(rng)
-    cfg = dataclasses.replace(CFG, raw_residual=True)
+    cfg = dataclasses.replace(CFG, raw_residual=mode)
     model = AMPGCN(config=cfg)
     variables = model.init(init_rngs(), g, deterministic=True)
-    assert "raw_residual_proj" in variables["params"]
+    assert param in variables["params"]
     # head sees pooled (D) + residual (D)
     assert variables["params"]["final_linear_out"]["kernel"].shape == (16, 3)
     out = model.apply(variables, g, deterministic=True,
@@ -208,5 +212,6 @@ def test_ampgcn_raw_residual(rng):
     gsum = jax.tree_util.tree_reduce(
         lambda a, b: a + float(np.abs(np.asarray(b)).sum()), grads, 0.0)
     assert np.isfinite(gsum) and gsum > 0
-    rk = grads["raw_residual_proj"]["kernel"]
-    assert float(np.abs(np.asarray(rk)).sum()) > 0
+    rsum = sum(float(np.abs(np.asarray(l)).sum())
+               for l in jax.tree_util.tree_leaves(grads[param]))
+    assert rsum > 0
