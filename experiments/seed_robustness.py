@@ -28,7 +28,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
-    ap.add_argument("--raw-residual", action="store_true")
+    ap.add_argument("--raw-residual", type=str, default="",
+                help="'' (off) | mlp | gcn | gcn2")
     ap.add_argument("--dropout", type=float, default=0.1)
     ap.add_argument("--weight-decay", type=float, default=5e-4)
     args = ap.parse_args()
@@ -38,7 +39,8 @@ def main():
 
     cfg = AMPGCNConfig(
         num_sampled_vectors=40, token_sampling="tfidf", scaler="precomputed",
-        dropout_rate=args.dropout, raw_residual=args.raw_residual,
+        dropout_rate=args.dropout,
+        raw_residual=args.raw_residual or False,
     )
     rows = []
     for seed in args.seeds:
