@@ -193,7 +193,13 @@ class AMPGCN(nn.Module):
             else:
                 raise ValueError(f"unknown raw_residual mode: {mode!r}")
             xr = drop("draw", xr)
-            pooled = jnp.concatenate([pooled, xr], axis=-1)
+            # keep aux['pooled'] = the TOKEN pooling (its documented
+            # meaning for histograms/SSL); the widened head input and the
+            # residual pathway are exposed under their own keys
+            head_in = jnp.concatenate([pooled, xr], axis=-1)
+        else:
+            xr = None
+            head_in = pooled
 
         # Deliberate deviation: the reference's head keeps torch Linear's
         # kaiming-uniform default; we use xavier-uniform here (slightly
@@ -203,7 +209,7 @@ class AMPGCN(nn.Module):
             cfg.output_dim,
             kernel_init=nn.initializers.xavier_uniform(),
             name="final_linear_out",
-        )(pooled)
+        )(head_in)
 
         if cfg.softmax_out:
             out = jax.nn.log_softmax(logits, axis=-1)
@@ -219,5 +225,6 @@ class AMPGCN(nn.Module):
                 "conv1_embedding": conv1_embedding,
                 "conv2_embedding": conv2_embedding,
                 "pooled": pooled,
+                **({"raw_residual": xr} if xr is not None else {}),
             }
         return ModelOutput(logits=out, aux=aux)

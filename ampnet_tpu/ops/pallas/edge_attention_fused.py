@@ -68,10 +68,18 @@ FUSE_PROJ_DEFAULT = os.environ.get("AMPNET_FUSE_PROJ", "1") == "1"
 _V6_VMEM_LIMIT = int(os.environ.get("AMPNET_V6_VMEM_LIMIT", 120 * 1024 * 1024))
 
 
-def _v6_fits(n_rows: int, d: int, itemsize: int) -> bool:
-    """x resident [R, D] + kvscr scratch [R, 2D] (+ ~4 MB of tile-sized
-    buffers) must fit the raised v6 VMEM budget."""
-    return n_rows * 3 * d * itemsize + 4 * 1024 * 1024 <= _V6_VMEM_LIMIT
+def _v6_fits(n_rows: int, d: int, itemsize: int,
+             tile_rows: int = 0, group_rows: int = 0) -> bool:
+    """Full v6 VMEM accounting against the raised budget: x resident
+    [R, D] + kvscr scratch [R, 2D] + weight blocks + the per-tile
+    scratches (qscr, f32 acc, out block, gather buffers) + 2 MB slack
+    for Mosaic's own buffers."""
+    resident = n_rows * 3 * d * itemsize                  # x + kvscr
+    weights = (3 * d * d + d * d + 4 * d) * itemsize      # w_qkv/b/w_out/b
+    per_tile = tile_rows * d * (2 * itemsize + 4)         # qscr + out + acc
+    bufs = group_rows * 3 * d * itemsize                  # qbuf + kvbuf
+    total = resident + weights + per_tile + bufs + 2 * 1024 * 1024
+    return total <= _V6_VMEM_LIMIT
 
 
 def pallas_available() -> bool:
@@ -1218,38 +1226,28 @@ def amp_edge_attention_pallas_core(
         x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
 
     n_tiles_nodes = tcsr.num_tiles * tcsr.tile_nodes
+    # v2/dma kv_rows carry the PROMOTED dtype (bf16 x against f32 params
+    # projects to f32), so size the resident-K|V estimate on that, not on
+    # x.dtype alone
+    kv_itemsize = jnp.dtype(
+        jnp.result_type(x.dtype, params.w_qkv.dtype)).itemsize
     gather = _resolve_gather(gather, max(n, n_tiles_nodes) * sp, d,
-                             jnp.dtype(x.dtype).itemsize)
+                             kv_itemsize)
 
-    if (FUSE_PROJ_DEFAULT and gather == "vmem"
-            and _v6_fits(max(n, n_tiles_nodes) * sp, d,
-                         jnp.dtype(x.dtype).itemsize)):
-        # v6 whole-layer kernel (see _pallas_core_dynamic): projections +
-        # attention + mean + out-proj in one kernel, no qkv HBM round-trip
-        x_rows = x.reshape(n * sp, d)
-        if n_tiles_nodes > n:
-            x_rows = jnp.pad(x_rows, ((0, (n_tiles_nodes - n) * sp), (0, 0)))
-        count = segment_count(receivers, n, edge_mask)
-        invdeg = jnp.where(count > 0, 1.0 / jnp.maximum(count, 1.0), 0.0)
-        invdeg = jnp.pad(invdeg.astype(jnp.float32),
-                         (0, n_tiles_nodes - n)).reshape(
-            tcsr.num_tiles, 1, tcsr.tile_nodes)
+    g6 = group if group else _auto_group(sp, tcsr.edges_per_tile, gather)
+    if _v6_usable(n, n_tiles_nodes, sp, d, x.dtype, tcsr.tile_nodes, g6,
+                  gather):
         counts = (jnp.asarray(tcsr.counts) if tcsr.counts is not None
                   else _structural_counts(jnp.asarray(tcsr.valid)[:, None, :]))
-        rows = _fused_attention_out_v6(
-            x_rows, params.w_qkv.astype(x.dtype),
-            params.b_qkv.reshape(1, 3 * d).astype(x.dtype),
-            params.w_out.astype(x.dtype),
-            params.b_out.reshape(1, d).astype(x.dtype),
+        return _v6_call(
+            x, params,
             jnp.asarray(tcsr.senders)[:, None, :],
             jnp.asarray(tcsr.recv_local)[:, None, :],
-            jnp.asarray(tcsr.valid)[:, None, :], counts, invdeg,
-            num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
-            group=group if group else _auto_group(sp, tcsr.edges_per_tile, gather),
-            num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
-            interpret=interpret,
+            jnp.asarray(tcsr.valid)[:, None, :], counts,
+            receivers, edge_mask, num_heads=num_heads, softmax=softmax,
+            tile_nodes=tcsr.tile_nodes, group=g6, num_tiles=tcsr.num_tiles,
+            emax=tcsr.edges_per_tile, s=s, interpret=interpret,
         )
-        return rows[: n * sp].reshape(n, sp, d)[:, :s, :]
 
     qkv = x @ params.w_qkv + params.b_qkv
     q_rows = qkv[..., :d].reshape(n * sp, d)
@@ -1327,7 +1325,9 @@ def amp_edge_attention_pallas(
     sp = -(-s // align) * align
     gather = _resolve_gather(
         gather, max(n, num_tiles * tile_nodes) * sp, d,
-        jnp.dtype(x.dtype).itemsize,
+        # kv rows carry the PROMOTED projection dtype (bf16 x vs f32
+        # params -> f32) — size the resident estimate on that
+        jnp.dtype(jnp.result_type(x.dtype, params.w_qkv.dtype)).itemsize,
     )  # resolved ONCE so fwd and bwd agree
 
     @jax.custom_vjp
@@ -1550,6 +1550,47 @@ _STREAM_CHUNK_BYTES = int(
 )
 
 
+def _v6_usable(n: int, n_tiles_nodes: int, sp: int, d: int, dtype,
+               tile_nodes: int, group: int, gather: str) -> bool:
+    """v6 preconditions: enabled, vmem gather, the tile grid covers every
+    node (kvscr is sized to the grid; senders index all N nodes), and the
+    full VMEM accounting fits the raised budget."""
+    itemsize = jnp.dtype(dtype).itemsize
+    return (FUSE_PROJ_DEFAULT and gather == "vmem"
+            and n_tiles_nodes >= n
+            and _v6_fits(n_tiles_nodes * sp, d, itemsize,
+                         tile_rows=tile_nodes * sp,
+                         group_rows=group * sp))
+
+
+def _v6_call(x, params, senders3, recv3, valid3, counts, receivers,
+             edge_mask, *, num_heads, softmax, tile_nodes, group,
+             num_tiles, emax, s, interpret):
+    """Shared v6 dispatch: pad raw rows to the tile grid, fold runtime
+    degrees into invdeg tiles, cast params to the compute dtype, call the
+    whole-layer kernel, and slice the output back to [N, S, D]."""
+    n, sp, d = x.shape
+    nt = num_tiles * tile_nodes
+    x_rows = x.reshape(n * sp, d)
+    if nt > n:
+        x_rows = jnp.pad(x_rows, ((0, (nt - n) * sp), (0, 0)))
+    count = segment_count(receivers, n, edge_mask)
+    invdeg = jnp.where(count > 0, 1.0 / jnp.maximum(count, 1.0), 0.0)
+    invdeg = jnp.pad(invdeg.astype(jnp.float32), (0, nt - n)).reshape(
+        num_tiles, 1, tile_nodes)
+    dt = x.dtype
+    rows = _fused_attention_out_v6(
+        x_rows, params.w_qkv.astype(dt),
+        params.b_qkv.reshape(1, 3 * d).astype(dt),
+        params.w_out.astype(dt), params.b_out.reshape(1, d).astype(dt),
+        senders3, recv3, valid3, counts, invdeg,
+        num_heads=num_heads, softmax=softmax, tile_nodes=tile_nodes,
+        group=group, num_tiles=num_tiles, emax=emax, s=s,
+        interpret=interpret,
+    )
+    return rows[: n * sp].reshape(n, sp, d)[:, :s, :]
+
+
 def _resolve_gather(gather: str, n_rows: int, d: int, itemsize: int) -> str:
     """gather='auto' -> 'vmem' while the resident K|V block fits the VMEM
     budget, else 'dma'. Explicit 'vmem'/'dma' are honored as given."""
@@ -1595,32 +1636,23 @@ def _pallas_core_dynamic(
     n_tiles_nodes = tcsr.num_tiles * tcsr.tile_nodes
     group = _auto_group(sp, tcsr.edges_per_tile, gather)
 
-    if (FUSE_PROJ_DEFAULT and not return_parts and gather == "vmem"
-            and _v6_fits(n_tiles_nodes * sp, d, jnp.dtype(x.dtype).itemsize)):
+    if (not return_parts
+            and _v6_usable(n, n_tiles_nodes, sp, d, x.dtype,
+                           tcsr.tile_nodes, group, gather)):
         # v6 whole-layer kernel: raw rows in, layer output out — the QKV
         # and output projections run in-kernel, skipping the ~300 MB/layer
-        # (Cora scale) of qkv + mean/out-proj HBM round-trips
-        x_rows = x.reshape(n * sp, d)
-        if n_tiles_nodes > n:
-            x_rows = jnp.pad(x_rows, ((0, (n_tiles_nodes - n) * sp), (0, 0)))
-        count = segment_count(receivers, n, edge_mask)
-        invdeg = jnp.where(count > 0, 1.0 / jnp.maximum(count, 1.0), 0.0)
-        invdeg = jnp.pad(invdeg.astype(jnp.float32),
-                         (0, n_tiles_nodes - n)).reshape(
-            tcsr.num_tiles, 1, tcsr.tile_nodes)
+        # (Cora scale) of qkv + mean/out-proj HBM round-trips. Training
+        # forwards (return_parts) keep the v2 split so the backward's
+        # sums/count residuals stay materialized.
         counts = (tcsr.counts if tcsr.counts is not None
                   else _structural_counts(tcsr.valid))
-        rows = _fused_attention_out_v6(
-            x_rows, params.w_qkv.astype(x.dtype),
-            params.b_qkv.reshape(1, 3 * d).astype(x.dtype),
-            params.w_out.astype(x.dtype),
-            params.b_out.reshape(1, d).astype(x.dtype),
-            tcsr.senders, tcsr.recv_local, tcsr.valid, counts, invdeg,
-            num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
-            group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile,
-            s=s, interpret=interpret,
+        return _v6_call(
+            x, params, tcsr.senders, tcsr.recv_local, tcsr.valid, counts,
+            receivers, edge_mask, num_heads=num_heads, softmax=softmax,
+            tile_nodes=tcsr.tile_nodes, group=group,
+            num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
+            interpret=interpret,
         )
-        return rows[: n * sp].reshape(n, sp, d)[:, :s, :]
 
     qkv = x @ params.w_qkv + params.b_qkv
     q_rows = qkv[..., :d].reshape(n * sp, d)

@@ -33,7 +33,10 @@ def main():
     n = x.shape[0]
 
     def build(fuse):
-        eaf.FUSE_PROJ_DEFAULT = fuse
+        # NOTE: the variant flag is read at TRACE time, not build time —
+        # every timing/parity call below re-sets eaf.FUSE_PROJ_DEFAULT
+        # immediately before dispatch, which is what actually selects the
+        # kernel; build() only constructs the layout closure.
         fused = eaf.make_pallas_edge_attention(
             np.asarray(senders), np.asarray(receivers), np.ones(e, bool), n, h
         )

@@ -199,7 +199,7 @@ def test_v6_budget_guard_falls_back(rng, monkeypatch):
     from ampnet_tpu.ops.pallas import edge_attention_fused as eaf
 
     monkeypatch.setattr(eaf, "FUSE_PROJ_DEFAULT", True)
-    monkeypatch.setattr(eaf, "_V6_VMEM_LIMIT", 4 * 1024 * 1024 + 1)
+    monkeypatch.setattr(eaf, "_V6_VMEM_LIMIT", 1 * 1024 * 1024)
     x, senders, receivers, mask = build_case(rng)
     params = make_params(rng)
     tcsr = build_tiled_csr(senders, receivers, mask, 16, tile_nodes=8, group=4)
