@@ -41,7 +41,7 @@ def find_checkpoint(path: str) -> str:
         raise FileNotFoundError(f"no checkpoints under {path}")
 
     def ep(p):
-        m = re.search(r"ep(\d+)", p)
+        m = re.search(r"ep(\d+)", os.path.basename(p))
         return int(m.group(1)) if m else 10**9  # final sorts last
 
     return sorted(cands, key=ep)[-1]
