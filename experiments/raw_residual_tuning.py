@@ -39,6 +39,8 @@ CONFIGS = [
     ("gcn2_drop0.1_adj0.1_wd5e-4", 0.1, 0.1, 5e-4, False, "gcn2"),
     ("gcn2_drop0.3_adj0.1_wd1e-3", 0.3, 0.1, 1e-3, False, "gcn2"),
     ("mlp_drop0.1_adj0.1_wd5e-4", 0.1, 0.1, 5e-4, False, "mlp"),
+    # does the pre-LN transformer stack compose with the hybrid head?
+    ("tblock_gcn2_drop0.3_adj0.2_wd1e-3", 0.3, 0.2, 1e-3, True, "gcn2"),
 ]
 
 
