@@ -219,6 +219,35 @@ def _sharded_amp_conv(
     return jnp.where((count > 0)[:, None, None], out, 0.0)
 
 
+def _sharded_gcn_conv(
+    x_local: jnp.ndarray,          # [N_loc, F] transformed input features
+    kernel: jnp.ndarray,           # [F, D] GCNConv Dense kernel
+    bias: jnp.ndarray,             # [D]
+    senders_global: jnp.ndarray,   # [E_loc]
+    receivers_local: jnp.ndarray,  # [E_loc]
+    edge_mask: jnp.ndarray,        # [E_loc]
+    axis: str = "graph",
+) -> jnp.ndarray:
+    """One Kipf-Welling GCN hop on a receiver-owned edge partition:
+    transform locally (F->D BEFORE the halo exchange — D << F), all-gather
+    the transformed rows + the degree vector, weighted segment-sum with
+    the symmetric D^-1/2(A+I)D^-1/2 normalization (ops/gcn.py::gcn_norm
+    semantics: in-degrees counted with self-loops; every local row gets a
+    self-loop, like the single-device path appends loops for all rows)."""
+    n_loc = x_local.shape[0]
+    h_local = x_local @ kernel
+    h_all = jax.lax.all_gather(h_local, axis, axis=0, tiled=True)
+    deg_local = segment_count(receivers_local, n_loc, edge_mask) + 1.0
+    deg_all = jax.lax.all_gather(deg_local, axis, axis=0, tiled=True)
+    dinv_local = 1.0 / jnp.sqrt(deg_local)
+    dinv_all = 1.0 / jnp.sqrt(deg_all)
+    w = dinv_all[senders_global] * dinv_local[receivers_local]
+    msgs = h_all[senders_global] * w[:, None]
+    agg = segment_sum(msgs, receivers_local, n_loc, edge_mask)
+    agg = agg + h_local * (dinv_local ** 2)[:, None]   # self-loop term
+    return agg + bias
+
+
 def amp_gcn_forward_local(
     params: Dict,
     shard: PartitionedGraph,   # leaves WITHOUT the leading shard axis
@@ -258,6 +287,31 @@ def amp_gcn_forward_local(
     )
     h = jax.nn.relu(h)
     pooled = jnp.mean(h, axis=1)
+
+    if cfg.raw_residual:
+        # hybrid raw-residual head (models/amp_gcn.py): GCN hops over the
+        # z-scored raw features, halo-exchanged like the convs
+        mode = (cfg.raw_residual if isinstance(cfg.raw_residual, str)
+                else "mlp")
+        if mode == "mlp":
+            p = params["raw_residual_proj"]
+            xr = jax.nn.relu(x_norm @ p["kernel"] + p["bias"])
+        elif mode in ("gcn", "gcn2"):
+            p = params["raw_residual_conv1"]
+            xr = jax.nn.relu(_sharded_gcn_conv(
+                x_norm, p["Dense_0"]["kernel"], p["bias"],
+                shard.senders_global, shard.receivers_local,
+                shard.edge_mask, axis))
+            if mode == "gcn2":
+                p = params["raw_residual_conv2"]
+                xr = jax.nn.relu(_sharded_gcn_conv(
+                    xr, p["Dense_0"]["kernel"], p["bias"],
+                    shard.senders_global, shard.receivers_local,
+                    shard.edge_mask, axis))
+        else:
+            raise ValueError(f"unknown raw_residual mode: {mode!r}")
+        pooled = jnp.concatenate([pooled, xr], axis=-1)
+
     logits = pooled @ params["final_linear_out"]["kernel"] + params["final_linear_out"]["bias"]
     return jax.nn.log_softmax(logits, axis=-1)
 

@@ -84,13 +84,22 @@ def test_partition_graph_roundtrip(rng):
     assert orig == recon
 
 
-def test_partitioned_forward_matches_single_device(rng):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("raw_residual", [False, "gcn2"])
+def test_partitioned_forward_matches_single_device(rng, raw_residual):
     """Edge-partitioned shard_map forward == single-device model forward
-    (same params, same sampled indices)."""
+    (same params, same sampled indices); raw_residual='gcn2' also checks
+    the sharded GCN hops of the hybrid head (halo-exchanged degrees +
+    transformed rows)."""
+    import dataclasses
+
     try:
         from jax import shard_map  # noqa: F401
     except ImportError:
         pass
+    CFG = dataclasses.replace(globals()["CFG"], raw_residual=raw_residual)
     g = tiny_graph(rng)
     model = AMPGCN(config=CFG)
     k = jax.random.PRNGKey(0)
