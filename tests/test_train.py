@@ -168,3 +168,22 @@ def test_precomputed_scaler_consistent_between_subgraph_and_full(rng):
     d_sub = model_b.apply({"params": params_b}, sub).logits
     assert not np.allclose(np.asarray(d_sub)[:10], np.asarray(d_full)[:10],
                            rtol=1e-4, atol=1e-5)
+
+
+def test_xor_hybrid_raw_residual_trains():
+    """The hybrid raw-residual head trains end-to-end through the full
+    loop (optimizer, eval, best-val selection) and still learns XOR."""
+    import dataclasses
+
+    train_g, _ = get_xor_graphs(num_train_samples=80, num_test_samples=16, noise_std=0.2, seed=3)
+    cfg = AMPGCNConfig(
+        embedding_dim=16, num_heads=2, num_node_features=2,
+        num_sampled_vectors=8, output_dim=2, feat_emb_dim=15, val_emb_dim=1,
+        dropout_rate=0.0, dropout_adj_rate=0.0, raw_residual="gcn2",
+    )
+    model = AMPGCN(config=cfg)
+    tcfg = TrainConfig(learning_rate=5e-3, weight_decay=0.0, epochs=120,
+                       cosine_t0=None, grad_clip=1.0, log_every=50)
+    result = train_full_batch(model, train_g, tcfg)
+    accs = [h["train_acc"] for h in result["history"][-10:]]
+    assert max(accs) > 0.85, f"hybrid XOR did not converge: {accs}"
