@@ -11,17 +11,37 @@ from ampnet_tpu.models import AMPGCN
 from ampnet_tpu.train import Logfile, create_run_dir, train_full_batch
 
 
-def main(epochs=150, run_base="runs"):
-    _, g = cora_graph()
-    cfg = AMPGCNConfig(
-        embedding_dim=128, num_heads=4, num_node_features=1433,
-        num_sampled_vectors=20, output_dim=7, feat_emb_dim=127, val_emb_dim=1,
-    )
-    model = AMPGCN(config=cfg)
+def main(epochs=150, run_base="runs", tuned=False, raw_residual=False):
+    d, g = cora_graph()
+    if tuned or raw_residual:
+        # framework recipe: tfidf S=40, dataset-level scaler stats,
+        # best-val selection added below; --raw-residual adds the hybrid
+        # head (RESULTS.md: 0.760 tuned, 0.864 hybrid)
+        from ampnet_tpu.ops.tokenize import fit_scaler
+
+        import numpy as np
+
+        cfg = AMPGCNConfig(
+            num_sampled_vectors=40, token_sampling="tfidf",
+            scaler="precomputed",
+            dropout_rate=0.3 if raw_residual else 0.1,
+            raw_residual="gcn2" if raw_residual else False,
+        )
+        model = AMPGCN(config=cfg, scaler_stats=fit_scaler(np.asarray(d.x)))
+    else:
+        cfg = AMPGCNConfig(
+            embedding_dim=128, num_heads=4, num_node_features=1433,
+            num_sampled_vectors=20, output_dim=7, feat_emb_dim=127, val_emb_dim=1,
+        )
+        model = AMPGCN(config=cfg)
     run_dir = create_run_dir(run_base, details="cora full batch")
     tcfg = TrainConfig(
-        learning_rate=3e-3, weight_decay=5e-4, epochs=epochs,
+        learning_rate=3e-3,
+        weight_decay=1e-3 if raw_residual else 5e-4, epochs=epochs,
         cosine_t0=None, checkpoint_every=10, run_dir=run_dir, log_every=10,
+        grad_clip=1.0 if (tuned or raw_residual) else None,
+        select_best_every=10 if (tuned or raw_residual) else 0,
+        num_eval_samples=8 if (tuned or raw_residual) else 1,
     )
     log = Logfile(f"{run_dir}/_details.txt")
     result = train_full_batch(model, g, tcfg, log=log)
@@ -32,5 +52,10 @@ def main(epochs=150, run_base="runs"):
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=150)
+    p.add_argument("--tuned", action="store_true",
+                   help="framework recipe: tfidf S=40 + precomputed scaler "
+                        "+ best-val selection + ensemble eval")
+    p.add_argument("--raw-residual", action="store_true",
+                   help="--tuned plus the hybrid gcn2 raw-residual head")
     a = p.parse_args()
-    main(a.epochs)
+    main(a.epochs, tuned=a.tuned, raw_residual=a.raw_residual)
