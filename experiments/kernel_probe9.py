@@ -22,10 +22,19 @@ import bench  # noqa: E402  (time_fn + input builder)
 
 
 def main():
+    import argparse
+
     import jax
 
     import ampnet_tpu.ops.pallas.edge_attention_fused as eaf
     from ampnet_tpu.ops.edge_attention import MHAParams
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--groups", type=int, nargs="*", default=None,
+                    help="v6 group-size sweep (e.g. --groups 32 64 96): "
+                         "interleaved pairwise vs the g=32 default "
+                         "instead of the v3-vs-v6 contest")
+    args = ap.parse_args()
 
     e, h = 10556, 4
     x, senders, receivers, params = bench.build_inputs(e=e)
@@ -41,6 +50,36 @@ def main():
             np.asarray(senders), np.asarray(receivers), np.ones(e, bool), n, h
         )
         return lambda xx: fused(xx, p)
+
+    if args.groups:
+        import functools
+
+        eaf.FUSE_PROJ_DEFAULT = True
+        base = 32
+
+        def build_g(g):
+            fused = eaf.make_pallas_edge_attention(
+                np.asarray(senders), np.asarray(receivers),
+                np.ones(e, bool), n, h, group=g,
+            )
+            return lambda xx: fused(xx, p)
+
+        gfns = {g: build_g(g) for g in {base, *args.groups}}
+        reps = 6
+        for g in args.groups:
+            if g == base:
+                continue
+            ratios = []
+            for r in range(reps):
+                order = (base, g) if r % 2 == 0 else (g, base)
+                ts = {gg: bench.time_fn(gfns[gg], x) for gg in order}
+                ratios.append(ts[g] / ts[base])
+                print(f"rep {r}: g{base} {ts[base]*1e3:7.2f} ms  "
+                      f"g{g} {ts[g]*1e3:7.2f} ms  ratio {ratios[-1]:.3f}",
+                      flush=True)
+            med = sorted(ratios)[len(ratios) // 2]
+            print(f"g={g}: median ratio vs g{base} = {med:.3f}", flush=True)
+        return
 
     fns = {"v3": build(False), "v6": build(True)}
     # parity first (TPU, not interpret): v6 vs v3 on the same inputs
