@@ -139,6 +139,8 @@ def activation_stages_from_aux(aux: Dict[str, Any], logits=None) -> Dict[str, np
         stages["ReLU 2"] = np.maximum(stages["AmpConv 2"], 0)
     if aux.get("pooled") is not None:
         stages["Average Pooling"] = np.asarray(aux["pooled"])
+    if aux.get("raw_residual") is not None:
+        stages["Raw Residual"] = np.asarray(aux["raw_residual"])
     if logits is not None:
         stages["Linear Out"] = np.asarray(logits)
     return stages
