@@ -79,6 +79,20 @@ def load_planetoid_raw(root: str, name: str = "cora") -> PlanetoidData:
     allx, tx = dense(objs["allx"]), dense(objs["tx"])
     ally, ty = np.asarray(objs["ally"]), np.asarray(objs["ty"])
 
+    # Citeseer's test.index has GAPS (isolated papers missing from tx):
+    # zero-fill the full min..max test range before scattering, as the
+    # canonical Planetoid loader does — without this, x[test_idx] indexes
+    # past the vstack for any non-contiguous index file (cora's block is
+    # contiguous, so it never trips this).
+    full_span = int(test_idx.max()) - int(test_idx.min()) + 1
+    if full_span != len(test_idx):
+        tx_ext = np.zeros((full_span, tx.shape[1]), tx.dtype)
+        tx_ext[test_idx_range - int(test_idx.min())] = tx
+        tx = tx_ext
+        ty_ext = np.zeros((full_span, ty.shape[1]), ty.dtype)
+        ty_ext[test_idx_range - int(test_idx.min())] = ty
+        ty = ty_ext
+
     x = np.vstack([allx, tx])
     x[test_idx] = x[test_idx_range]
     labels_onehot = np.vstack([ally, ty])

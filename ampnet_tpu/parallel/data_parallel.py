@@ -52,10 +52,17 @@ def make_dp_train_step(
         out = model.apply(
             {"params": params}, g, deterministic=False, return_aux=False, rngs=rngs
         )
+        tm = g.train_mask & g.node_mask
         if loss_mode == "saint":
-            loss = saint_weighted_nll(out.logits, g.y, g.node_norm, g.train_mask & g.node_mask)
+            loss = saint_weighted_nll(out.logits, g.y, g.node_norm, tm)
+        elif loss_mode == "saint_mean":
+            from ampnet_tpu.train.losses import saint_weighted_mean_nll
+
+            loss = saint_weighted_mean_nll(out.logits, g.y, g.node_norm, tm)
+        elif loss_mode == "full":
+            loss = masked_mean_nll(out.logits, g.y, tm)
         else:
-            loss = masked_mean_nll(out.logits, g.y, g.train_mask & g.node_mask)
+            raise ValueError(f"unknown loss_mode {loss_mode!r}")
         acc = masked_accuracy(out.logits, g.y, g.train_mask & g.node_mask)
         return loss, acc
 

@@ -257,20 +257,51 @@ def amp_gcn_forward_local(
     layout=None,               # per-shard (tile_senders, tile_recv, tile_valid)
     tile_nodes: int = 8,
     interpret: bool = False,
+    scaler_stats=None,         # (mean, std) for cfg.scaler='precomputed'
 ) -> jnp.ndarray:
     """Per-shard AMPGCN forward (deterministic path: dropouts off), with
-    global z-scoring via psum and two halo-exchanged convs. Mirrors
-    models/amp_gcn.py / reference amp_gcn.py:239-276."""
+    halo-exchanged convs. Mirrors models/amp_gcn.py / reference
+    amp_gcn.py:239-276, honoring the frontend config the checkpoint was
+    trained with: cfg.scaler ('batch' = global z-scoring via psum,
+    'precomputed' = dataset-level stats) and cfg.token_sampling
+    ('uniform' | 'tfidf' with psum'd document frequencies)."""
     x = shard.x
-    # global scaler stats (the reference z-scores over the whole batch)
-    w = shard.node_mask.astype(x.dtype)[:, None]
-    n_glob = jax.lax.psum(jnp.sum(w), axis)
-    mean = jax.lax.psum(jnp.sum(x * w, axis=0), axis) / jnp.maximum(n_glob, 1.0)
-    var = jax.lax.psum(jnp.sum(w * (x - mean) ** 2, axis=0), axis) / jnp.maximum(n_glob, 1.0)
-    std = jnp.sqrt(var)
-    x_norm = (x - mean) / jnp.where(std == 0.0, 1.0, std)
+    if cfg.scaler == "precomputed":
+        if scaler_stats is None:
+            raise ValueError(
+                "cfg.scaler='precomputed' requires scaler_stats — a silent "
+                "batch-stats fallback would diverge from the checkpoint's "
+                "training normalization"
+            )
+        mean, std = (jnp.asarray(scaler_stats[0]), jnp.asarray(scaler_stats[1]))
+        x_norm = (x - mean) / jnp.where(std == 0.0, 1.0, std)
+    else:
+        # global batch stats via psum (the reference z-scores per batch)
+        w = shard.node_mask.astype(x.dtype)[:, None]
+        n_glob = jax.lax.psum(jnp.sum(w), axis)
+        mean = jax.lax.psum(jnp.sum(x * w, axis=0), axis) / jnp.maximum(n_glob, 1.0)
+        var = jax.lax.psum(jnp.sum(w * (x - mean) ** 2, axis=0), axis) / jnp.maximum(n_glob, 1.0)
+        std = jnp.sqrt(var)
+        x_norm = (x - mean) / jnp.where(std == 0.0, 1.0, std)
 
-    sidx = sample_present_features(sample_key, x, cfg.num_sampled_vectors)
+    if cfg.token_sampling == "tfidf":
+        # ops/tokenize.py::tfidf_sample_features with GLOBAL document
+        # frequencies (df/n psum'd across shards; pad rows are all-zero
+        # and contribute nothing, as on the single-device path)
+        present = x != 0
+        df = jax.lax.psum(jnp.sum(present, axis=0), axis)
+        n_rows = jax.lax.psum(jnp.asarray(x.shape[0], jnp.float32), axis)
+        idf = jnp.log(n_rows / (1.0 + df))
+        weights = jnp.abs(x) * jnp.maximum(idf, 1e-3)[None, :]
+        any_present = jnp.any(present, axis=1, keepdims=True)
+        logw = jnp.where(present, jnp.log(jnp.maximum(weights, 1e-30)), -1e30)
+        logw = jnp.where(any_present, logw, 0.0)
+        sidx = jax.random.categorical(
+            sample_key, logw[:, None, :], axis=-1,
+            shape=(x.shape[0], cfg.num_sampled_vectors),
+        ).astype(jnp.int32)
+    else:
+        sidx = sample_present_features(sample_key, x, cfg.num_sampled_vectors)
     table = params["tokenizer"]["feature_embedding_table"]
     tokens = gather_tokens(x_norm, sidx, table)
 
@@ -316,6 +347,42 @@ def amp_gcn_forward_local(
     return jax.nn.log_softmax(logits, axis=-1)
 
 
+def _graph_axis_loss(nll, node_norm, m, loss_mode: str, axis: str = "graph"):
+    """Per-replica loss reduced over the graph axis. Modes match
+    train/losses.py: 'saint' = the reference's node_norm-weighted SUM
+    (cora_benchmark_graphsaint.py:105-106), 'saint_mean' = the stabilized
+    weight-normalized variant (losses.py::saint_weighted_mean_nll),
+    'full' = masked mean NLL. Unknown modes raise — a silent fallthrough
+    would train the stabilized recipe with the wrong objective."""
+    if loss_mode == "saint":
+        return jax.lax.psum(jnp.sum(nll * node_norm * m), axis)
+    if loss_mode == "saint_mean":
+        tw = jax.lax.psum(jnp.sum(nll * node_norm * m), axis)
+        ws = jax.lax.psum(jnp.sum(node_norm * m), axis)
+        return tw / jnp.maximum(ws, 1e-12)
+    if loss_mode == "full":
+        total = jax.lax.psum(jnp.sum(nll * m), axis)
+        count = jax.lax.psum(jnp.sum(m), axis)
+        return total / jnp.maximum(count, 1.0)
+    raise ValueError(f"unknown loss_mode {loss_mode!r}")
+
+
+def _make_step(learning_rate_tx, sharded_loss):
+    """Shared jitted step body: value_and_grad -> optimizer update.
+    Extra positional args (e.g. fused-kernel layouts) pass through."""
+
+    @jax.jit
+    def step(params, opt_state, pg: PartitionedGraph, key, *extra):
+        (loss, acc), grads = jax.value_and_grad(
+            lambda p: sharded_loss(p, pg, key, *extra), has_aux=True
+        )(params)
+        updates, opt_state = learning_rate_tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "train_acc": acc}
+
+    return step
+
+
 def make_partitioned_train_step(
     cfg: AMPGCNConfig,
     mesh: Mesh,
@@ -324,6 +391,7 @@ def make_partitioned_train_step(
     use_pallas: bool = False,
     tile_nodes: int = 64,
     interpret: bool = False,
+    scaler_stats=None,   # (mean, std) for cfg.scaler='precomputed'
 ):
     """Jitted edge-partitioned training step over the 'graph' mesh axis.
 
@@ -344,59 +412,24 @@ def make_partitioned_train_step(
         logp = amp_gcn_forward_local(
             params, shard, cfg, my_key,
             layout=layout, tile_nodes=tile_nodes, interpret=interpret,
+            scaler_stats=scaler_stats,
         )
         m = (shard.train_mask & shard.node_mask).astype(logp.dtype)
         nll = -jnp.take_along_axis(logp, shard.y[:, None].astype(jnp.int32), axis=1)[:, 0]
-        if loss_mode == "saint":
-            loss = jax.lax.psum(jnp.sum(nll * shard.node_norm * m), "graph")
-        else:
-            total = jax.lax.psum(jnp.sum(nll * m), "graph")
-            count = jax.lax.psum(jnp.sum(m), "graph")
-            loss = total / jnp.maximum(count, 1.0)
+        loss = _graph_axis_loss(nll, shard.node_norm, m, loss_mode)
         correct = jax.lax.psum(
             jnp.sum((jnp.argmax(logp, -1) == shard.y).astype(jnp.float32) * m), "graph"
         )
         n = jax.lax.psum(jnp.sum(m), "graph")
         return loss, correct / jnp.maximum(n, 1.0)
 
-    if use_pallas:
-        sharded_loss = shard_map(
-            local_loss,
-            mesh=mesh,
-            in_specs=(P(), pspec, P(), lspec),
-            out_specs=(P(), P()),
-            check_vma=False,
-        )
-
-        @jax.jit
-        def step(params, opt_state, pg: PartitionedGraph, key, layouts):
-            (loss, acc), grads = jax.value_and_grad(
-                lambda p: sharded_loss(p, pg, key, layouts), has_aux=True
-            )(params)
-            updates, opt_state = learning_rate_tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, {"loss": loss, "train_acc": acc}
-
-        return step
-
+    in_specs = ((P(), pspec, P(), lspec) if use_pallas
+                else (P(), pspec, P()))
     sharded_loss = shard_map(
-        local_loss,
-        mesh=mesh,
-        in_specs=(P(), pspec, P()),
-        out_specs=(P(), P()),
+        local_loss, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
         check_vma=False,
     )
-
-    @jax.jit
-    def step(params, opt_state, pg: PartitionedGraph, key):
-        (loss, acc), grads = jax.value_and_grad(
-            lambda p: sharded_loss(p, pg, key), has_aux=True
-        )(params)
-        updates, opt_state = learning_rate_tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, {"loss": loss, "train_acc": acc}
-
-    return step
+    return _make_step(learning_rate_tx, sharded_loss)
 
 
 def make_dp_partitioned_train_step(
@@ -407,6 +440,7 @@ def make_dp_partitioned_train_step(
     use_pallas: bool = False,
     tile_nodes: int = 64,
     interpret: bool = False,
+    scaler_stats=None,   # (mean, std) for cfg.scaler='precomputed'
 ):
     """Combined data-parallel x graph-partitioned training step.
 
@@ -434,15 +468,11 @@ def make_dp_partitioned_train_step(
         logp = amp_gcn_forward_local(
             params, shard, cfg, my_key, axis="graph",
             layout=layout, tile_nodes=tile_nodes, interpret=interpret,
+            scaler_stats=scaler_stats,
         )
         m = (shard.train_mask & shard.node_mask).astype(logp.dtype)
         nll = -jnp.take_along_axis(logp, shard.y[:, None].astype(jnp.int32), axis=1)[:, 0]
-        if loss_mode == "saint":
-            replica_loss = jax.lax.psum(jnp.sum(nll * shard.node_norm * m), "graph")
-        else:
-            total = jax.lax.psum(jnp.sum(nll * m), "graph")
-            count = jax.lax.psum(jnp.sum(m), "graph")
-            replica_loss = total / jnp.maximum(count, 1.0)
+        replica_loss = _graph_axis_loss(nll, shard.node_norm, m, loss_mode)
         n_data = jax.lax.axis_size("data")
         loss = jax.lax.psum(replica_loss, "data") / n_data
         correct = jax.lax.psum(
@@ -452,44 +482,13 @@ def make_dp_partitioned_train_step(
         n = jax.lax.psum(jnp.sum(m), ("data", "graph"))
         return loss, correct / jnp.maximum(n, 1.0)
 
-    if use_pallas:
-        sharded_loss = shard_map(
-            local_loss,
-            mesh=mesh,
-            in_specs=(P(), pspec, P(), lspec),
-            out_specs=(P(), P()),
-            check_vma=False,
-        )
-
-        @jax.jit
-        def step_pallas(params, opt_state, pg: PartitionedGraph, key, layouts):
-            (loss, acc), grads = jax.value_and_grad(
-                lambda p: sharded_loss(p, pg, key, layouts), has_aux=True
-            )(params)
-            updates, opt_state = learning_rate_tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, {"loss": loss, "train_acc": acc}
-
-        return step_pallas
-
+    in_specs = ((P(), pspec, P(), lspec) if use_pallas
+                else (P(), pspec, P()))
     sharded_loss = shard_map(
-        local_loss,
-        mesh=mesh,
-        in_specs=(P(), pspec, P()),
-        out_specs=(P(), P()),
+        local_loss, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
         check_vma=False,
     )
-
-    @jax.jit
-    def step(params, opt_state, pg: PartitionedGraph, key):
-        (loss, acc), grads = jax.value_and_grad(
-            lambda p: sharded_loss(p, pg, key), has_aux=True
-        )(params)
-        updates, opt_state = learning_rate_tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, {"loss": loss, "train_acc": acc}
-
-    return step
+    return _make_step(learning_rate_tx, sharded_loss)
 
 
 def stack_partitioned(pgs) -> PartitionedGraph:

@@ -73,10 +73,23 @@ def load_checkpoint_params(path: str, params_template):
 
 
 def find_latest_checkpoint(run_dir: str) -> Optional[str]:
-    """Most recent checkpoint in a run dir (failure-recovery entry point:
-    the reference's story is 'restart from the latest periodic
-    checkpoint' — SURVEY §5.3)."""
+    """Latest checkpoint in a run dir by EPOCH NUMBER (failure-recovery
+    entry point: the reference's story is 'restart from the latest
+    periodic checkpoint' — SURVEY §5.3). Ordering by mtime is wrong
+    after an rsync/tar round-trip that flattens timestamps; the epoch is
+    parsed from the basename (checkpoint_final outranks every epoch),
+    with mtime only as the tie-breaker."""
     import glob
+    import re
+
+    def order(p):
+        base = os.path.basename(p)
+        if base == "checkpoint_final.pkl":
+            return (2, 0, os.path.getmtime(p))
+        m = re.search(r"ep(\d+)", base)
+        if m:
+            return (1, int(m.group(1)), os.path.getmtime(p))
+        return (0, 0, os.path.getmtime(p))
 
     cands = [
         p for p in glob.glob(os.path.join(run_dir, "checkpoint_*.pkl"))
@@ -86,7 +99,23 @@ def find_latest_checkpoint(run_dir: str) -> Optional[str]:
     ]
     if not cands:
         return None
-    return max(cands, key=os.path.getmtime)
+    return max(cands, key=order)
+
+
+def restore_best(run_dir: str, params_template):
+    """(best_val_acc, best_params) banked by the selection loop, or
+    (-1.0, None) if absent. Resume paths call this so a crash+restart
+    cannot let a WORSE post-resume validation overwrite the pre-crash
+    best (the loops would otherwise restart best-val tracking at -1).
+    Old checkpoints without the best_val_acc metadata return their
+    params with -1.0 (pre-fix behavior)."""
+    path = os.path.join(run_dir, "checkpoint_best.pkl")
+    if not os.path.exists(path):
+        return -1.0, None
+    payload = _read_payload(path)
+    va = float(payload.get("extra", {}).get("best_val_acc", -1.0))
+    params = serialization.from_bytes(params_template, payload["params_bytes"])
+    return va, params
 
 
 def resume_or_create(run_dir: Optional[str], state_template):

@@ -20,7 +20,11 @@ from flax import linen as nn
 from ampnet_tpu.core.config import TrainConfig
 from ampnet_tpu.core.graph import Graph
 from ampnet_tpu.data.graphsaint import GraphSaintRandomWalkSampler
-from ampnet_tpu.train.checkpoint import resume_or_create, save_checkpoint
+from ampnet_tpu.train.checkpoint import (
+    restore_best,
+    resume_or_create,
+    save_checkpoint,
+)
 from ampnet_tpu.train.optim import make_optimizer
 from ampnet_tpu.train.rundir import Logfile
 from ampnet_tpu.train.state import (
@@ -106,6 +110,10 @@ def train_full_batch(
 
     history: List[Dict[str, float]] = []
     best_val, best_params = -1.0, None
+    if cfg.run_dir and start_epoch:
+        best_val, best_params = restore_best(cfg.run_dir, state.params)
+        if best_params is not None:
+            log.log(f"restored banked best (val acc {best_val:.4f})")
     t0 = time.time()
     for epoch in range(start_epoch, cfg.epochs):
         state, metrics = train_step(state, graph, layout)
@@ -130,6 +138,7 @@ def train_full_batch(
                     save_checkpoint(
                         os.path.join(cfg.run_dir, "checkpoint_best.pkl"),
                         state.replace(params=best_params), epoch, None,
+                        extra={"best_val_acc": best_val},
                     )
         if cfg.run_dir and cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
             save_checkpoint(
@@ -186,6 +195,18 @@ def train_saint(
     full_layout = _layout_for(full_graph) if use_pallas else None
     budget = _saint_layout_budget(sampler) if use_pallas else 0
 
+    def _required_budget(sub, tile_nodes=64):
+        # actual max per-tile edge count of THIS subgraph, SMEM-aligned —
+        # the sampler-derived heuristic (2x average + 128) can be exceeded
+        # by hub-node tile skew without any sampler pad regrow, so growing
+        # from the sampler alone would re-raise the same overflow
+        em = np.asarray(sub.edge_mask)
+        r = np.asarray(sub.receivers)[em]
+        if r.size == 0:
+            return 128
+        counts = np.bincount(r // tile_nodes)
+        return ((int(counts.max()) + 127) // 128) * 128
+
     def sub_layout(sub):
         nonlocal budget
         if not use_pallas:
@@ -193,12 +214,17 @@ def train_saint(
         try:
             return _layout_for(sub, edges_per_tile=budget)
         except ValueError:
-            budget = _saint_layout_budget(sampler)
+            budget = max(budget, _saint_layout_budget(sampler),
+                         _required_budget(sub))
             log.log(f"edge-layout budget regrown to {budget} (recompile)")
             return _layout_for(sub, edges_per_tile=budget)
 
     history: List[Dict[str, float]] = []
     best_val, best_params = -1.0, None
+    if cfg.run_dir and start_epoch:
+        best_val, best_params = restore_best(cfg.run_dir, state.params)
+        if best_params is not None:
+            log.log(f"restored banked best (val acc {best_val:.4f})")
     t0 = time.time()
     for epoch in range(start_epoch, cfg.epochs):
         it = sampler.prefetch() if prefetch else iter(sampler)
@@ -232,6 +258,7 @@ def train_saint(
                     save_checkpoint(
                         os.path.join(cfg.run_dir, "checkpoint_best.pkl"),
                         state.replace(params=best_params), epoch, None,
+                        extra={"best_val_acc": best_val},
                     )
             log.log(f"Eval epoch {epoch:4d} | val acc {va:.4f} | best {best_val:.4f}")
         if cfg.run_dir and cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:

@@ -64,13 +64,17 @@ def make_pallas_train_step(model: AMPGCN, loss_mode: str = "saint",
                 {"params": params}, graph, deterministic=False,
                 return_aux=False, rngs=rngs, fused_fns=fns,
             )
+            tm = graph.train_mask & graph.node_mask
             if loss_mode == "saint":
-                loss = saint_weighted_nll(
-                    out.logits, graph.y, graph.node_norm,
-                    graph.train_mask & graph.node_mask,
-                )
+                loss = saint_weighted_nll(out.logits, graph.y, graph.node_norm, tm)
+            elif loss_mode == "saint_mean":
+                from ampnet_tpu.train.losses import saint_weighted_mean_nll
+
+                loss = saint_weighted_mean_nll(out.logits, graph.y, graph.node_norm, tm)
+            elif loss_mode == "full":
+                loss = masked_mean_nll(out.logits, graph.y, tm)
             else:
-                loss = masked_mean_nll(out.logits, graph.y, graph.train_mask & graph.node_mask)
+                raise ValueError(f"unknown loss_mode {loss_mode!r}")
             return loss, out
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -30,17 +30,31 @@ def skipgram_loss(
     edge_mask: jnp.ndarray,
     neg_key: jax.Array,
     num_negatives: int = 5,
+    node_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """GraphSAGE skip-gram loss (contrastive_ssl_AMPNet.py:43-48 intent)."""
+    """GraphSAGE skip-gram loss (contrastive_ssl_AMPNet.py:43-48 intent).
+
+    Negatives are drawn from VALID nodes only when node_mask is given:
+    graphs are padded (GraphSAINT pads ~30%), and uniform sampling over
+    the padded range would make a third of the negatives bias-driven
+    pad-row embeddings, systematically skewing the contrastive gradient.
+    """
     z = embeddings
     zu, zv = z[senders], z[receivers]
     pos_logit = jnp.sum(zu * zv, axis=-1)
     m = edge_mask.astype(z.dtype)
     pos = -jax.nn.log_sigmoid(pos_logit) * m
 
-    neg_idx = jax.random.randint(
-        neg_key, (senders.shape[0], num_negatives), 0, z.shape[0]
-    )
+    if node_mask is not None:
+        logits_nodes = jnp.where(node_mask, 0.0, -jnp.inf)  # uniform over valid
+        neg_idx = jax.random.categorical(
+            neg_key, logits_nodes[None, :],
+            shape=(senders.shape[0], num_negatives),
+        ).astype(jnp.int32)
+    else:
+        neg_idx = jax.random.randint(
+            neg_key, (senders.shape[0], num_negatives), 0, z.shape[0]
+        )
     zn = z[neg_idx]                                    # [E, Q, D]
     neg_logit = jnp.einsum("ed,eqd->eq", zu, zn)
     neg = -jnp.sum(jax.nn.log_sigmoid(-neg_logit), axis=-1) * m
@@ -80,7 +94,7 @@ class SSLPretrainer(nn.Module):
             neg_key = self.make_rng("negatives")
             return skipgram_loss(
                 pooled, graph.senders, graph.receivers, graph.edge_mask,
-                neg_key, self.num_negatives,
+                neg_key, self.num_negatives, node_mask=graph.node_mask,
             )
         elif self.mode == "predictive":
             dense = nn.Dense(self.num_features, name="feature_predictor")

@@ -306,3 +306,59 @@ def test_load_planetoid_raw_fixture(tmp_path, rng):
     data2 = load_cora(root=root)
     assert not data2.synthetic
     np.testing.assert_array_equal(data2.x, x_true)
+
+
+def test_load_planetoid_raw_gapped_test_index(tmp_path, rng):
+    """Citeseer-style NON-CONTIGUOUS test.index (isolated papers missing
+    from tx): the parser zero-fills the gap rows like the canonical
+    loader instead of indexing out of bounds."""
+    import pickle
+
+    import scipy.sparse as sp
+
+    from ampnet_tpu.data.planetoid import load_planetoid_raw
+
+    root = str(tmp_path)
+    f, c, n_all = 6, 3, 5
+    # test ids span 5..12 but 7 and 10 are MISSING (gap rows)
+    present = np.array([5, 6, 8, 9, 11, 12])
+    n = 13
+    x_true = np.zeros((n, f), np.float32)
+    y_true = np.zeros(n, np.int64)
+    filled = rng.random((n_all + len(present), f)).astype(np.float32)
+    labels = rng.integers(0, c, n_all + len(present))
+    x_true[:n_all] = filled[:n_all]
+    y_true[:n_all] = labels[:n_all]
+    for j, node in enumerate(present):
+        x_true[node] = filled[n_all + j]
+        y_true[node] = labels[n_all + j]
+    onehot = np.eye(c, dtype=np.int32)[y_true]
+
+    shuffled = present.copy()
+    rng.shuffle(shuffled)
+    # format trap (same as cora): row j of tx belongs to node shuffled[j];
+    # the zero-fill places rows at sorted positions and the scatter
+    # x[test_idx] = x[test_idx_range] unpermutes
+    tx = np.stack([x_true[i] for i in shuffled])
+    ty = np.stack([onehot[i] for i in shuffled])
+    adj = {i: [int((i + 1) % n)] for i in range(n)}
+
+    def dump(suffix, obj):
+        with open(os.path.join(root, f"ind.citeseer.{suffix}"), "wb") as fh:
+            pickle.dump(obj, fh)
+
+    dump("x", sp.csr_matrix(x_true[:3]))
+    dump("y", onehot[:3])
+    dump("tx", sp.csr_matrix(tx))
+    dump("ty", ty)
+    dump("allx", sp.csr_matrix(x_true[:n_all]))
+    dump("ally", onehot[:n_all])
+    dump("graph", adj)
+    with open(os.path.join(root, "ind.citeseer.test.index"), "w") as fh:
+        fh.writelines(f"{i}\n" for i in shuffled)
+
+    data = load_planetoid_raw(root, "citeseer")
+    np.testing.assert_array_equal(data.x, x_true)   # gap rows stay zero
+    np.testing.assert_array_equal(data.y[present], y_true[present])
+    assert data.test_mask.sum() == len(present)
+    assert not data.test_mask[7] and not data.test_mask[10]

@@ -274,3 +274,118 @@ def test_partitioned_train_step_hybrid(rng):
                 params[name], params2[name]),
         )
         assert d > 0, f"{name} did not receive gradients"
+
+
+def test_partitioned_step_saint_mean_and_strict_modes(rng):
+    """'saint_mean' (the stabilized loss) works on the partitioned path,
+    and unknown loss modes raise instead of silently training with the
+    unweighted mean."""
+    import pytest
+
+    g = tiny_graph(rng)
+    model = AMPGCN(config=CFG)
+    k = jax.random.PRNGKey(0)
+    variables = model.init({"params": k, "sample": k, "dropout": k, "edges": k}, g, deterministic=True)
+    params = variables["params"]
+    mesh = make_mesh(data=1, graph=4)
+    pg = partition_graph(g, 4)
+    tx = make_optimizer(1e-3)
+    opt_state = tx.init(params)
+    step = make_partitioned_train_step(CFG, mesh, tx, loss_mode="saint_mean")
+    with mesh:
+        _, _, metrics = step(params, opt_state, pg, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+    bad = make_partitioned_train_step(CFG, mesh, tx, loss_mode="nope")
+    with pytest.raises(ValueError, match="loss_mode"):
+        with mesh:
+            bad(params, opt_state, pg, jax.random.PRNGKey(1))
+
+
+def test_partitioned_forward_precomputed_scaler_matches(rng):
+    """cfg.scaler='precomputed' on the partitioned path uses the
+    dataset-level stats the checkpoint was trained with (previously it
+    silently fell back to psum batch stats)."""
+    import dataclasses
+
+    from ampnet_tpu.ops.tokenize import fit_scaler, sample_present_features
+
+    cfg = dataclasses.replace(CFG, scaler="precomputed")
+    g = tiny_graph(rng)
+    stats = fit_scaler(np.asarray(g.x), node_mask=np.asarray(g.node_mask))
+    model = AMPGCN(config=cfg, scaler_stats=stats)
+    k = jax.random.PRNGKey(0)
+    variables = model.init({"params": k, "sample": k, "dropout": k, "edges": k}, g, deterministic=True)
+    params = variables["params"]
+
+    n_shards = 4
+    mesh = make_mesh(data=1, graph=n_shards)
+    pg = partition_graph(g, n_shards)
+    sample_key = jax.random.PRNGKey(42)
+    idx_parts = []
+    for p in range(n_shards):
+        kp = jax.random.fold_in(sample_key, p)
+        idx_parts.append(sample_present_features(kp, pg.x[p], cfg.num_sampled_vectors))
+    idx_full = jnp.concatenate(idx_parts)[: g.num_nodes_padded]
+    single = model.apply(variables, g, deterministic=True, sampled_idx=idx_full,
+                         return_aux=False)
+
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map as sm
+        shard_map_fn = sm.shard_map if hasattr(sm, "shard_map") else sm
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as shard_map_fn
+
+    pspec = PartitionedGraph(*(P("graph") for _ in range(9)))
+
+    def local_fwd(params, pg_in, key):
+        shard = PartitionedGraph(*(leaf[0] for leaf in pg_in))
+        my_key = jax.random.fold_in(key, jax.lax.axis_index("graph"))
+        return amp_gcn_forward_local(params, shard, cfg, my_key,
+                                     scaler_stats=stats)[None]
+
+    with mesh:
+        logp = shard_map_fn(
+            local_fwd, mesh=mesh, in_specs=(P(), pspec, P()), out_specs=P("graph"),
+            check_vma=False,
+        )(params, pg, sample_key)
+    logp = logp.reshape(-1, cfg.output_dim)[: g.num_nodes_padded]
+    np.testing.assert_allclose(np.asarray(logp), np.asarray(single.logits),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_partitioned_forward_tfidf_runs(rng):
+    """cfg.token_sampling='tfidf' on the partitioned path (psum'd document
+    frequencies) produces finite log-probs."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, token_sampling="tfidf")
+    g = tiny_graph(rng)
+    model = AMPGCN(config=cfg)
+    k = jax.random.PRNGKey(0)
+    variables = model.init({"params": k, "sample": k, "dropout": k, "edges": k}, g, deterministic=True)
+    params = variables["params"]
+    mesh = make_mesh(data=1, graph=4)
+    pg = partition_graph(g, 4)
+
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map as sm
+        shard_map_fn = sm.shard_map if hasattr(sm, "shard_map") else sm
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as shard_map_fn
+
+    pspec = PartitionedGraph(*(P("graph") for _ in range(9)))
+
+    def local_fwd(params, pg_in, key):
+        shard = PartitionedGraph(*(leaf[0] for leaf in pg_in))
+        my_key = jax.random.fold_in(key, jax.lax.axis_index("graph"))
+        return amp_gcn_forward_local(params, shard, cfg, my_key)[None]
+
+    with mesh:
+        logp = shard_map_fn(
+            local_fwd, mesh=mesh, in_specs=(P(), pspec, P()), out_specs=P("graph"),
+            check_vma=False,
+        )(params, pg, jax.random.PRNGKey(7))
+    assert np.isfinite(np.asarray(logp)).all()

@@ -65,3 +65,49 @@ def test_best_checkpoint_saved_and_excluded_from_resume(tmp_path):
     assert os.path.exists(os.path.join(run_dir, "checkpoint_best.pkl"))
     latest = find_latest_checkpoint(run_dir)
     assert latest is not None and not latest.endswith("checkpoint_best.pkl")
+
+
+def test_restore_best_survives_resume(tmp_path, rng):
+    """A crash+resume must not let a worse post-resume validation
+    overwrite the banked best (the loops restart best_val at -1; the
+    banked checkpoint carries best_val_acc metadata to reseed it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flax import struct
+
+    from ampnet_tpu.train.checkpoint import restore_best, save_checkpoint
+
+    @struct.dataclass
+    class S:
+        params: dict
+
+    s = S(params={"w": jnp.arange(4.0)})
+    save_checkpoint(str(tmp_path / "checkpoint_best.pkl"), s, epoch=25,
+                    extra={"best_val_acc": 0.88})
+    va, params = restore_best(str(tmp_path), s.params)
+    assert va == 0.88
+    assert jnp.allclose(params["w"], s.params["w"])
+    # absent dir -> sentinel
+    va2, p2 = restore_best(str(tmp_path / "nope"), s.params)
+    assert va2 == -1.0 and p2 is None
+
+
+def test_find_latest_checkpoint_epoch_ordered(tmp_path):
+    """Resume picks the newest EPOCH even when mtimes are flattened
+    (rsync/tar round-trip), and checkpoint_final outranks epochs;
+    checkpoint_best is never the resume point."""
+    import os
+
+    from ampnet_tpu.train.checkpoint import find_latest_checkpoint
+
+    for name in ("checkpoint_ep9.pkl", "checkpoint_ep49.pkl",
+                 "checkpoint_best.pkl"):
+        (tmp_path / name).write_bytes(b"x")
+    t = 1700000000
+    for name in os.listdir(tmp_path):  # identical mtimes
+        os.utime(tmp_path / name, (t, t))
+    assert find_latest_checkpoint(str(tmp_path)).endswith("checkpoint_ep49.pkl")
+    (tmp_path / "checkpoint_final.pkl").write_bytes(b"x")
+    os.utime(tmp_path / "checkpoint_final.pkl", (t, t))
+    assert find_latest_checkpoint(str(tmp_path)).endswith("checkpoint_final.pkl")
