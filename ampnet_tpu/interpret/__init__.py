@@ -17,7 +17,12 @@ from ampnet_tpu.interpret.attention import (
     visualize_attention_coefficients,
     plot_xor_attn_weights,
 )
-from ampnet_tpu.interpret.embedding import plot_pca_2d, plot_tsne_2d, plot_subgraph
+from ampnet_tpu.interpret.embedding import (
+    plot_pca_2d,
+    plot_subgraph,
+    plot_tsne_2d,
+    plot_umap_2d,
+)
 
 __all__ = [
     "plot_loss_curves",
@@ -34,6 +39,7 @@ __all__ = [
     "visualize_attention_coefficients",
     "plot_xor_attn_weights",
     "plot_pca_2d",
+    "plot_umap_2d",
     "plot_tsne_2d",
     "plot_subgraph",
 ]

@@ -41,14 +41,14 @@ class AMPNetClassifier(nn.Module):
         x = drop(x)
         x, attn1 = AMPConv(self.embed_dim, self.num_heads, name="conv1")(
             x, graph.senders, graph.receivers, graph.edge_mask,
-            deterministic=deterministic,
+            deterministic=deterministic, return_weights=return_aux,
         )
         conv1_embedding = x
         x = nn.elu(x)
         x = drop(x)
         x, attn2 = AMPConv(self.embed_dim, self.num_heads, name="conv2")(
             x, graph.senders, graph.receivers, graph.edge_mask,
-            deterministic=deterministic,
+            deterministic=deterministic, return_weights=return_aux,
         )
         conv2_embedding = x
         x = nn.elu(x)

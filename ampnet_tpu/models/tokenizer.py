@@ -83,7 +83,8 @@ class FeatureTokenizer(nn.Module):
                 if cfg.balanced_sampling:
                     sampled_idx = balanced_sample_features(key, x, cfg.num_sampled_vectors)
                 elif cfg.sampling == "tfidf":
-                    sampled_idx = tfidf_sample_features(key, x, cfg.num_sampled_vectors)
+                    sampled_idx = tfidf_sample_features(
+                        key, x, cfg.num_sampled_vectors, node_mask=node_mask)
                 else:
                     sampled_idx = sample_present_features(key, x, cfg.num_sampled_vectors)
             tokens = gather_tokens(x_norm, sampled_idx, table)

@@ -30,9 +30,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _bwd_kernel_vmem(
+    ng_ref,        # SMEM [1, T] int32 live edge-GROUP trip counts (from
+    #                STRUCTURAL counts — runtime masks may zero arbitrary
+    #                slots, so a slot-0-validity skip would drop live
+    #                edges' gradients and leave their stream rows garbage)
     senders_ref,   # SMEM [1, 1, EMAX]
     recv_ref,      # SMEM [1, 1, EMAX]
-    valid_ref,     # SMEM [1, 1, EMAX]
+    valid_ref,     # SMEM [1, 1, EMAX] (may carry RUNTIME masks)
     q_ref,         # VMEM [TN*SP, D] this tile's projected Q rows
     kv_ref,        # VMEM [Nt*SP, 2D] projected K|V rows (resident)
     dsum_ref,      # VMEM [TN*SP, D] d(aggregated sums) rows for this tile
@@ -56,8 +60,8 @@ def _bwd_kernel_vmem(
     g = group
     dh = d // num_heads
     scale = 1.0 / (dh ** 0.5)
-    n_groups = emax // g
     t = pl.program_id(0)
+    ng = ng_ref[0, t]
 
     dqacc_ref[:] = jnp.zeros(dqacc_ref.shape, dqacc_ref.dtype)
 
@@ -75,9 +79,7 @@ def _bwd_kernel_vmem(
         )
 
     def body(gi, _):
-        @pl.when(valid_ref[0, 0, gi * g] != 0)
-        def _run():
-            _group(gi)
+        _group(gi)
         return 0
 
     def _group(gi):
@@ -158,23 +160,17 @@ def _bwd_kernel_vmem(
             cur = dqacc_ref[pl.ds(r * sp, sp), :]
             dqacc_ref[pl.ds(r * sp, sp), :] = cur + block
 
-    jax.lax.fori_loop(0, n_groups, body, 0)
+    jax.lax.fori_loop(0, ng, body, 0)
 
-    # drain the last (up to 2) outstanding stream DMAs. Valid edges are a
-    # packed prefix, so valid group count = #groups whose first edge is
-    # valid; the in-loop waits covered groups < nv-2.
-    def count_body(gi, c):
-        return c + (valid_ref[0, 0, gi * g] != 0).astype(jnp.int32)
-
-    nv = jax.lax.fori_loop(0, n_groups, count_body, jnp.int32(0))
-
-    @pl.when(nv >= 1)
+    # drain the last (up to 2) outstanding stream DMAs; the in-loop waits
+    # covered groups < ng-2
+    @pl.when(ng >= 1)
     def _():
-        stream_dma(nv - 1, jax.lax.rem(nv - 1, 2)).wait()
+        stream_dma(ng - 1, jax.lax.rem(ng - 1, 2)).wait()
 
-    @pl.when(nv >= 2)
+    @pl.when(ng >= 2)
     def _():
-        stream_dma(nv - 2, jax.lax.rem(nv - 2, 2)).wait()
+        stream_dma(ng - 2, jax.lax.rem(ng - 2, 2)).wait()
 
     dq_out_ref[:] = dqacc_ref[:].astype(dq_out_ref.dtype)
 
@@ -547,6 +543,7 @@ def _bwd_kernel_vmem_v2(
 
 
 def _bwd_kernel_dma(
+    ng_ref,        # SMEM [1, T] int32 STRUCTURAL edge-group trip counts
     senders_ref, recv_ref, valid_ref,
     q_ref,         # VMEM [TN*SP, D]
     kv_hbm,        # ANY [N_all*SP, 2D] — too big for VMEM; DMA per edge
@@ -565,8 +562,11 @@ def _bwd_kernel_dma(
     g = group
     dh = d // num_heads
     scale = 1.0 / (dh ** 0.5)
-    n_groups = emax // g
     t = pl.program_id(0)
+    ng = ng_ref[0, t]   # STRUCTURAL trip count: runtime masks may zero
+    # arbitrary slots, so skipping on slot-0 validity would drop live
+    # edges' dQ and leave their dK|dV stream rows uninitialized (and
+    # desync the double-buffered stream-DMA waits)
 
     dqacc_ref[:] = jnp.zeros(dqacc_ref.shape, dqacc_ref.dtype)
 
@@ -599,21 +599,19 @@ def _bwd_kernel_dma(
             ssems.at[slot],
         )
 
-    @pl.when(valid_ref[0, 0, 0] != 0)
+    @pl.when(ng >= 1)
     def _():
         start_gather(0, 0)
 
     def body(gi, _):
-        @pl.when(valid_ref[0, 0, gi * g] != 0)
-        def _run():
-            _group(gi)
+        _group(gi)
         return 0
 
     def _group(gi):
         slot = jax.lax.rem(gi, 2)
         nxt = jax.lax.rem(gi + 1, 2)
 
-        @pl.when((gi + 1 < n_groups) & (valid_ref[0, 0, jnp.minimum(gi + 1, n_groups - 1) * g] != 0))
+        @pl.when(gi + 1 < ng)
         def _():
             start_gather(gi + 1, nxt)
 
@@ -680,20 +678,15 @@ def _bwd_kernel_dma(
             cur = dqacc_ref[pl.ds(r * sp, sp), :]
             dqacc_ref[pl.ds(r * sp, sp), :] = cur + block
 
-    jax.lax.fori_loop(0, n_groups, body, 0)
+    jax.lax.fori_loop(0, ng, body, 0)
 
-    def count_body(gi, c):
-        return c + (valid_ref[0, 0, gi * g] != 0).astype(jnp.int32)
-
-    nv = jax.lax.fori_loop(0, n_groups, count_body, jnp.int32(0))
-
-    @pl.when(nv >= 1)
+    @pl.when(ng >= 1)
     def _():
-        stream_dma(nv - 1, jax.lax.rem(nv - 1, 2)).wait()
+        stream_dma(ng - 1, jax.lax.rem(ng - 1, 2)).wait()
 
-    @pl.when(nv >= 2)
+    @pl.when(ng >= 2)
     def _():
-        stream_dma(nv - 2, jax.lax.rem(nv - 2, 2)).wait()
+        stream_dma(ng - 2, jax.lax.rem(ng - 2, 2)).wait()
 
     dq_out_ref[:] = dqacc_ref[:].astype(dq_out_ref.dtype)
 
@@ -826,11 +819,18 @@ def fused_edge_bwd(
     s: int,
     gather: str = "vmem",
     interpret: bool = False,
+    tile_counts=None,  # [T] STRUCTURAL live-edge counts — REQUIRED when
+    # tile_valid carries a runtime (dropout) mask: trip counts derived
+    # from a holed mask would skip structurally-live tail groups
 ):
     """Returns (dq_rows [Nt*SP, D] f32, dkv_stream [T*EMAX*SP, 2D] f32)."""
     sp = q_rows.shape[0] // (num_tiles * tile_nodes)
     d = q_rows.shape[1]
     tn = tile_nodes
+    counts = (tile_counts if tile_counts is not None
+              else jnp.sum((tile_valid != 0).astype(jnp.int32), axis=(1, 2)))
+    ngroups = ((counts.astype(jnp.int32) + group - 1) // group).reshape(
+        1, num_tiles)
     if gather == "vmem":
         kernel = functools.partial(
             _bwd_kernel_vmem,
@@ -868,6 +868,7 @@ def fused_edge_bwd(
         kernel,
         grid=(num_tiles,),
         in_specs=[
+            pl.BlockSpec((1, num_tiles), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
@@ -888,4 +889,4 @@ def fused_edge_bwd(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(tile_senders, tile_recv, tile_valid, q_rows, kv_rows, dsum_rows)
+    )(ngroups, tile_senders, tile_recv, tile_valid, q_rows, kv_rows, dsum_rows)

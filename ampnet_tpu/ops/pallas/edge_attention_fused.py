@@ -1482,6 +1482,7 @@ def _pallas_bwd_dynamic(
                 num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
                 group=group, num_tiles=ntc, emax=emax, s=s,
                 gather=gather, interpret=interpret,
+                tile_counts=counts[t0:t1],
             )
             dq_parts.append(dq_c)
             fs = tcsr.senders[t0:t1].reshape(-1)

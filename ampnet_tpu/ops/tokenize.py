@@ -92,6 +92,7 @@ def tfidf_sample_features(
     key: jax.Array,
     x: jnp.ndarray,
     num_samples: int,
+    node_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Per node, sample `num_samples` present features with replacement,
     weighted by TF-IDF (idf_j = log(N / (1 + df_j)) from this batch).
@@ -99,11 +100,18 @@ def tfidf_sample_features(
     A framework improvement over the reference's uniform present-feature
     sampling (amp_gcn.py:132-135): rare, class-discriminative features are
     drawn more often than ubiquitous ones. Returns [N, num_samples] int32.
+
+    `node_mask` keeps the idf honest on padded graphs: df only counts
+    real (nonzero) rows, so n must be the REAL node count too — the
+    padded count adds log(N_pad/N_real) to every idf, flattening the
+    between-feature weighting as padding grows.
     """
     n = x.shape[0]
     present = x != 0
+    n_real = (jnp.sum(node_mask.astype(jnp.float32)) if node_mask is not None
+              else jnp.asarray(n, jnp.float32))
     df = jnp.sum(present, axis=0)                       # [F]
-    idf = jnp.log(n / (1.0 + df))
+    idf = jnp.log(n_real / (1.0 + df))
     weights = jnp.abs(x) * jnp.maximum(idf, 1e-3)[None, :]
     any_present = jnp.any(present, axis=1, keepdims=True)
     logw = jnp.where(present, jnp.log(jnp.maximum(weights, 1e-30)), _NEG_INF)
@@ -161,7 +169,10 @@ def tile_all_tokens(
     table = jnp.tile(feat_embedding, (feature_repeats, 1))  # [S, feat_dim]
     s = table.shape[0]
     emb = jnp.broadcast_to(table[None], (n, s, table.shape[1]))
-    vals = x_norm[:, :s]
+    # tiled token j carries feature j % F — tile the VALUES to match the
+    # tiled table rows (a [:, :s] slice clipped to F columns and broke
+    # every feature_repeats > 1 config at trace time)
+    vals = jnp.tile(x_norm, (1, feature_repeats))[:, :s]
     return jnp.concatenate([emb, vals[..., None]], axis=-1)
 
 

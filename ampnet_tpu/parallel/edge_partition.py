@@ -290,7 +290,9 @@ def amp_gcn_forward_local(
         # and contribute nothing, as on the single-device path)
         present = x != 0
         df = jax.lax.psum(jnp.sum(present, axis=0), axis)
-        n_rows = jax.lax.psum(jnp.asarray(x.shape[0], jnp.float32), axis)
+        # REAL node count (pad rows would add log(N_pad/N_real) to every
+        # idf — see ops/tokenize.py::tfidf_sample_features)
+        n_rows = jax.lax.psum(jnp.sum(shard.node_mask.astype(jnp.float32)), axis)
         idf = jnp.log(n_rows / (1.0 + df))
         weights = jnp.abs(x) * jnp.maximum(idf, 1e-3)[None, :]
         any_present = jnp.any(present, axis=1, keepdims=True)

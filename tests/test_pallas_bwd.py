@@ -133,3 +133,54 @@ def test_fused_bwd_stacked_matches_xla_vjp(rng, softmax, monkeypatch):
 
     monkeypatch.setattr(eaf, "STACKED_SOFTMAX_DEFAULT", True)
     test_fused_bwd_matches_xla_vjp(rng, softmax)
+
+
+@pytest.mark.parametrize("gather", ["dma", "vmem"])
+def test_fused_bwd_runtime_scattered_mask(rng, gather):
+    """Backward with a RUNTIME (adjacency-dropout) mask scattered into the
+    structural layout's slots: live edges behind a dropped slot-0 edge
+    must still get exact gradients. The pre-fix DMA backward skipped any
+    group whose first slot was invalid — live edges in such groups lost
+    their dQ and their dK|dV stream rows were folded from uninitialized
+    memory."""
+    x, senders, receivers, _, params = make_case(rng)
+    struct_mask = np.ones(senders.shape[0], bool)
+    tcsr = build_tiled_csr(senders, receivers, struct_mask, 16,
+                           tile_nodes=8, group=4)
+    # runtime dropout: kill ~40% of edges INCLUDING slot 0 of each tile's
+    # first group (edges are receiver-sorted, so low slots = early edges)
+    runtime = rng.random(senders.shape[0]) > 0.4
+    runtime[np.argsort(receivers)[0]] = False  # guarantee a dropped slot-0
+    t, emax = tcsr.valid.shape
+    slot = np.where(tcsr.edge_slot < 0, t * emax, tcsr.edge_slot)
+    flat = np.zeros(t * emax + 1, np.int32)
+    flat[slot] = runtime.astype(np.int32)
+    tile_valid_rt = flat[:-1].reshape(t, emax)
+    counts = jnp.asarray(tcsr.counts)  # STRUCTURAL trip counts
+
+    def fused_loss(x, params):
+        out = amp_edge_attention_pallas(
+            x, params, jnp.asarray(senders), jnp.asarray(receivers),
+            jnp.asarray(runtime),
+            jnp.asarray(tcsr.senders), jnp.asarray(tcsr.recv_local),
+            jnp.asarray(tile_valid_rt),
+            num_heads=H, softmax=True, tile_nodes=8, gather=gather,
+            fused_bwd=True, interpret=True, tile_counts=counts,
+        )
+        return jnp.sum(out * jnp.cos(out))
+
+    def ref_loss(x, params):
+        out, _ = amp_edge_attention(
+            x, jnp.asarray(senders), jnp.asarray(receivers),
+            jnp.asarray(runtime), params, H, softmax=True,
+            return_weights=False,
+        )
+        return jnp.sum(out * jnp.cos(out))
+
+    lf, (gx_f, gp_f) = jax.value_and_grad(fused_loss, argnums=(0, 1))(x, params)
+    lr, (gx_r, gp_r) = jax.value_and_grad(ref_loss, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(lf, lr, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=3e-3, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gp_f.w_qkv), np.asarray(gp_r.w_qkv),
+                               rtol=3e-3, atol=3e-4)

@@ -103,3 +103,45 @@ def test_tfidf_sampling_prefers_rare_features():
     assert counts[5] > counts[0]
     # nodes without the rare feature only draw present features
     assert set(idx[0].tolist()) == {0}
+
+
+def test_tile_all_tokens_feature_repeats(rng):
+    """The non-downsampled tiled-table variant (amp_gcn.py:168-180) with
+    feature_repeats > 1: token j carries feature j % F's value (a slice
+    bug previously broke every repeats>1 config at trace time)."""
+    import jax.numpy as jnp
+
+    from ampnet_tpu.ops.tokenize import tile_all_tokens
+
+    n, f, d, reps = 4, 3, 5, 2
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    table = jnp.asarray(rng.normal(size=(f, d)).astype(np.float32))
+    toks = tile_all_tokens(x, table, reps)
+    assert toks.shape == (n, f * reps, d + 1)
+    for j in range(f * reps):
+        np.testing.assert_array_equal(np.asarray(toks[:, j, :d]),
+                                      np.asarray(table[j % f]) * np.ones((n, 1)))
+        np.testing.assert_array_equal(np.asarray(toks[:, j, d]),
+                                      np.asarray(x[:, j % f]))
+
+
+def test_tfidf_idf_ignores_padding(rng):
+    """Padded all-zero rows must not shift the idf: with node_mask the
+    sampling distribution is identical before and after padding."""
+    import jax
+    import jax.numpy as jnp
+
+    from ampnet_tpu.ops.tokenize import tfidf_sample_features
+
+    n, f, s = 12, 10, 6
+    x = (rng.random((n, f)) < 0.4).astype(np.float32)
+    x[x.sum(1) == 0, 0] = 1.0
+    xp = np.vstack([x, np.zeros((20, f), np.float32)])  # heavy padding
+    mask = np.zeros(n + 20, bool)
+    mask[:n] = True
+    k = jax.random.PRNGKey(0)
+    a = tfidf_sample_features(k, jnp.asarray(x), s,
+                              node_mask=jnp.ones(n, bool))
+    b = tfidf_sample_features(k, jnp.asarray(xp), s,
+                              node_mask=jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[:n])
