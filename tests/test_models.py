@@ -215,3 +215,26 @@ def test_ampgcn_raw_residual(rng, mode, param):
     rsum = sum(float(np.abs(np.asarray(l)).sum())
                for l in jax.tree_util.tree_leaves(grads[param]))
     assert rsum > 0
+
+
+def test_ampgcn_non_downsampled_tiled_tokens(rng):
+    """downsample_feature_vectors=False with feature_repeats > 1 (the
+    reference's tiled-table XOR variant, amp_gcn.py:168-180): tokens
+    cover every feature feature_repeats times. This path was broken at
+    trace time until r2 (tile_all_tokens clipped the value columns)."""
+    n, f, reps = 10, 4, 3
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    ei = np.stack([rng.integers(0, n, 30), rng.integers(0, n, 30)])
+    g = from_arrays(x, ei, y=rng.integers(0, 3, n), train_mask=np.ones(n, bool))
+    cfg = AMPGCNConfig(
+        embedding_dim=8, num_heads=2, num_node_features=f, output_dim=3,
+        feat_emb_dim=7, val_emb_dim=1, downsample_feature_vectors=False,
+        feature_repeats=reps, num_sampled_vectors=4,
+        dropout_rate=0.0, dropout_adj_rate=0.0,
+    )
+    model = AMPGCN(config=cfg)
+    variables = model.init(init_rngs(), g, deterministic=True)
+    out = model.apply(variables, g, deterministic=True,
+                      rngs={"sample": jax.random.PRNGKey(1)})
+    assert out.aux["conv1_embedding"].shape == (g.num_nodes_padded, f * reps, 8)
+    assert np.isfinite(np.asarray(out.logits)).all()
