@@ -38,7 +38,8 @@ def create_two_sample_dataset(
     adj = rng.random((n, n)) < p
     src, dst = np.nonzero(adj)
     edge_index = np.stack([src, dst]).astype(np.int32)
-    # random split: 20/class train, 20 val, 20 test
+    # random split: 20/class train; of the remaining 5/class, 5 val + 5 test
+    # total (tiny example — accuracy granularity is coarse by design)
     train_mask = np.zeros(n, bool)
     for c in (0, 1):
         train_mask[rng.choice(np.where(y == c)[0], 20, replace=False)] = True

@@ -39,11 +39,19 @@ def main():
     tr2 = jnp.asarray(tcsr2.recv_local)[:, None, :]
     tv2 = jnp.asarray(tcsr2.valid)[:, None, :]
     tc2 = jnp.asarray(tcsr2.counts)
-    rec("v3 tn=128 g=32", lambda q: run_v3(
-        q, kv2, ts2, tr2, tv2, tc2, num_heads=4, tile_nodes=128,
-        group=32, num_tiles=tcsr2.num_tiles, emax=tcsr2.edges_per_tile,
-        s=meta2["s"]))
-    globals()['q2'] = q2
+    # NOTE: rec() times with the OUTER q_rows; the tn=128 layout needs
+    # its own q2 row count, so time this point directly
+    log("timing v3 tn=128 g=32 ...")
+    try:
+        t = time_fn(lambda q: run_v3(
+            q, kv2, ts2, tr2, tv2, tc2, num_heads=4, tile_nodes=128,
+            group=32, num_tiles=tcsr2.num_tiles, emax=tcsr2.edges_per_tile,
+            s=meta2["s"]), q2, k1=2, k2=12)
+        results["v3 tn=128 g=32"] = round(t * 1e3, 4)
+        log(f"  v3 tn=128 g=32: {t*1e3:.3f} ms ({e/t/1e6:.2f} M edges/s)")
+    except Exception as err:
+        results["v3 tn=128 g=32"] = f"ERR {type(err).__name__}"
+        log(f"  v3 tn=128 g=32: ERR {err}")
 
     # bf16 at g=32 (sp stays 24 is illegal for bf16 (16-sublane tile);
     # rebuild with sp=32 by padding s->32)

@@ -27,17 +27,17 @@ def log(msg):
     print(f"[{time.time()-T0:7.1f}s] {msg}", flush=True)
 
 
-def build(stacked, g, senders, receivers, e, n, h):
-    eaf.STACKED_SOFTMAX_DEFAULT = stacked
-    orig = eaf._auto_group
-    eaf._auto_group = lambda sp, emax, gather, _g=g: (
-        _g if gather == "vmem" else orig(sp, emax, gather))
-    try:
-        return eaf.make_pallas_edge_attention(
-            np.asarray(senders), np.asarray(receivers), np.ones(e, bool), n, h)
-    finally:
-        eaf._auto_group = orig
-        eaf.STACKED_SOFTMAX_DEFAULT = False
+def build(g, senders, receivers, e, n, h):
+    # group is BAKED into the closure via the explicit kwarg; the stacked
+    # flag is NOT — it resolves at call/trace time from the module
+    # default, so every dispatch below must set it first. (The original
+    # version of this probe monkeypatched _auto_group and the flag inside
+    # a finally that ran BEFORE any call — all three "configs" compiled
+    # the identical per-head auto-group kernel and the recorded "neutral"
+    # A/B compared a kernel against itself. RESULTS.md corrected.)
+    return eaf.make_pallas_edge_attention(
+        np.asarray(senders), np.asarray(receivers), np.ones(e, bool), n, h,
+        group=g)
 
 
 def main():
@@ -50,13 +50,15 @@ def main():
                ("stacked g=192", True, 192)]
     fns = {}
     for name, stacked, g in configs:
-        fns[name] = build(stacked, g, senders, receivers, e, n, h)
-        fns[name](x, p)  # compile
+        fns[name] = build(g, senders, receivers, e, n, h)
+        eaf.STACKED_SOFTMAX_DEFAULT = stacked
+        fns[name](x, p)  # compile under the right flag
         log(f"compiled {name}")
 
     reps = {name: [] for name, *_ in configs}
     for rep in range(6):
-        for name, *_ in configs:
+        for name, stacked, g in configs:
+            eaf.STACKED_SOFTMAX_DEFAULT = stacked  # read at trace time
             t = time_fn(lambda xx, f=fns[name]: f(xx, p), x)
             reps[name].append(t * 1e3)
         log(f"rep {rep}: " + " | ".join(

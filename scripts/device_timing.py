@@ -41,21 +41,31 @@ def make_graph(n=768, e=4096, f=1433, seed=0):
 
 
 def loop_time(body_fn, init, k1=2, k2=12):
-    """Per-iteration device time via differenced in-jit loops."""
-    import functools
+    """Per-iteration device time via differenced in-jit loops.
 
-    @functools.partial(jax.jit, static_argnames=("k",))
+    Salted against relay dedupe: the original timed run(init,k1)/run(
+    init,k2) dispatches were repeat-identical to the warmups, exactly
+    the cached-result artifact bench.time_fn was hardened for in r2 —
+    every timed dispatch here now uses a fresh k (k traced: one
+    program serves all counts)."""
+    _SALT[0] += 1
+    salt = 2 * _SALT[0]
+
+    @jax.jit
     def run(init, k):
         return jax.lax.fori_loop(0, k, body_fn, init)
 
-    for k in (k1, k2):
-        jax.block_until_ready(run(init, k))  # compile both
+    jax.block_until_ready(run(init, k1))  # compile + warm
+    ka, kb = k1 + salt, k2 + salt + 1
     t0 = time.perf_counter()
-    jax.block_until_ready(run(init, k1))
+    jax.block_until_ready(run(init, ka))
     t1 = time.perf_counter()
-    jax.block_until_ready(run(init, k2))
+    jax.block_until_ready(run(init, kb))
     t2 = time.perf_counter()
-    return ((t2 - t1) - (t1 - t0)) / (k2 - k1)
+    return ((t2 - t1) - (t1 - t0)) / (kb - ka)
+
+
+_SALT = [0]
 
 
 def main():

@@ -56,7 +56,11 @@ def hbm_bw():
     # relay dispatch noise is O(100 ms), so the k contrast must represent
     # SECONDS of device work: 2000 extra iterations x ~0.65 ms/iter.
     nbytes = 256 << 20  # 256 MiB buffer -> 512 MiB moved per iteration
-    x = jnp.ones(nbytes // 4, jnp.float32)
+    # START AT 0.5, NOT 1.0: x=1.0 is the exact fixed point of
+    # a*0.999+0.001 and such dispatches short-circuit (hbm_probe.py
+    # documents the resulting bogus ~0 ms readings); verify the loop
+    # actually iterated via the converging value.
+    x = jnp.full(nbytes // 4, 0.5, jnp.float32)
 
     def body(i, a):
         return a * 0.999 + 0.001  # one read + one write of the buffer
@@ -67,11 +71,15 @@ def hbm_bw():
 
     jax.block_until_ready(run(x, 2))  # compile (k traced: one program)
     times = {}
-    for k in (100, 2100):
+    for k in (101, 2103):  # fresh k values (the relay dedupes repeats)
         t0 = time.perf_counter()
-        jax.block_until_ready(run(x, k))
+        v = run(x, k)
+        jax.block_until_ready(v)
         times[k] = time.perf_counter() - t0
-    t = (times[2100] - times[100]) / 2000
+    expected = 1.0 + (0.5 - 1.0) * 0.999 ** 2103
+    got = float(v[0])
+    assert abs(got - expected) < 1e-3, f"loop elided? {got} vs {expected}"
+    t = (times[2103] - times[101]) / 2002
     print(f"axpy(256MiB): {t*1e3:.3f} ms/iter -> {2*nbytes/t/1e9:.0f} GB/s "
           f"effective HBM bandwidth", flush=True)
 
@@ -112,7 +120,15 @@ def gather_probe():
             out = jax.jit(fn)(table, idx)
             ref = np.asarray(table)[np.asarray(idx)]
             ok = np.allclose(np.asarray(out), ref)
-            t = device_time(fn, table, idx)
+            # time_fn chains each iteration's OUTPUT into the next input,
+            # so the timed fn must be shape-preserving — pad the gather
+            # result back to the table shape (the original passed the
+            # raw fn and ALWAYS raised a broadcast ValueError into the
+            # except branch, reporting "FAILS" for kernels that lowered)
+            t = device_time(
+                lambda tbl: jnp.pad(fn(tbl, idx), ((0, rows - k), (0, 0))),
+                table,
+            )
             print(f"{name}: LOWERS, correct={ok}, {t*1e6:.1f} us "
                   f"({k*d*4/t/1e9:.1f} GB/s gathered)", flush=True)
         except Exception as err:
