@@ -74,10 +74,21 @@ int64_t ampnet_induced_edges(
 
 // GraphSAINT normalization pre-pass: repeatedly sample random-walk
 // subgraphs, counting node and edge occurrences until
-// total_sampled_nodes >= n * coverage. Multi-threaded; counts accumulate
-// into per-thread buffers merged at the end. Returns the number of
-// subgraphs sampled ("num_samples" in the reference's norm formula,
+// total_sampled_nodes >= n * coverage. Returns the number of subgraphs
+// sampled ("num_samples" in the reference's norm formula,
 // visualize_graphsaint_subgraphs.py:137-173).
+//
+// DETERMINISTIC parallel design: each sample index k draws from its own
+// RNG stream seeded by (seed, k), and threads process chunks of
+// consecutive k with a barrier (join) between chunks — the stop decision
+// only looks at COMPLETED chunks, so the set of processed samples (and
+// therefore every count) is a pure function of (graph, seed), not of
+// scheduler timing. (The original design let each thread run free until
+// a shared atomic crossed the target: the per-thread round counts —
+// and so the norms — varied run-to-run under a fixed seed, and the
+// target was only consulted once per num_steps round per thread,
+// overshooting by up to threads*num_steps samples.) num_steps is kept
+// in the ABI but no longer sets the check granularity.
 int64_t ampnet_norm_prepass(
     const int64_t* indptr, const int32_t* indices, int64_t n,
     const int64_t* src_indptr, const int32_t* dst_sorted,
@@ -85,21 +96,34 @@ int64_t ampnet_norm_prepass(
     int64_t batch_size, int64_t walk_length, int64_t coverage,
     int64_t num_steps, uint64_t seed, int64_t num_threads,
     double* node_count, double* edge_count) {
+  (void)num_steps;
   if (num_threads <= 0) num_threads = 1;
-  std::atomic<int64_t> total_sampled(0);
-  std::atomic<int64_t> num_samples(0);
   const int64_t target = n * coverage;
+  const int64_t kSamplesPerThread = 4;  // per chunk: amortizes spawns,
+  // bounds deterministic overshoot at threads*4 samples
 
-  auto worker = [&](int t) {
-    std::mt19937_64 rng(seed + 0x9e3779b97f4a7c15ULL * (t + 1));
-    std::vector<double> nc(n, 0.0), ec(nnz, 0.0);
-    std::vector<int64_t> starts(batch_size), walks(batch_size * (walk_length + 1));
-    std::vector<uint8_t> scratch(n, 0);
-    std::vector<int64_t> nodes;
-    while (total_sampled.load(std::memory_order_relaxed) < target) {
-      for (int64_t step = 0; step < num_steps; ++step) {
-        for (int64_t i = 0; i < batch_size; ++i)
-          starts[i] = (int64_t)(rng() % (uint64_t)n);
+  std::vector<std::vector<double>> ncs(num_threads), ecs(num_threads);
+  for (int t = 0; t < num_threads; ++t) {
+    ncs[t].assign(n, 0.0);
+    ecs[t].assign(nnz, 0.0);
+  }
+
+  int64_t total_sampled = 0, num_samples = 0, chunk = 0;
+  while (total_sampled < target) {
+    std::vector<int64_t> chunk_nodes(num_threads, 0);
+    auto worker = [&](int t) {
+      std::vector<int64_t> starts(batch_size),
+          walks(batch_size * (walk_length + 1));
+      std::vector<uint8_t> scratch(n, 0);
+      std::vector<int64_t> nodes;
+      double* nc = ncs[t].data();
+      double* ec = ecs[t].data();
+      for (int64_t i = 0; i < kSamplesPerThread; ++i) {
+        const int64_t k =
+            (chunk * num_threads + t) * kSamplesPerThread + i;
+        std::mt19937_64 rng(seed + 0x9e3779b97f4a7c15ULL * (uint64_t)(k + 1));
+        for (int64_t b = 0; b < batch_size; ++b)
+          starts[b] = (int64_t)(rng() % (uint64_t)n);
         ampnet_random_walk(indptr, indices, n, starts.data(), batch_size,
                            walk_length, rng(), walks.data());
         nodes.assign(walks.begin(), walks.end());
@@ -111,23 +135,24 @@ int64_t ampnet_norm_prepass(
           for (int64_t e = src_indptr[v]; e < src_indptr[v + 1]; ++e)
             if (scratch[dst_sorted[e]]) ec[edge_ids[e]] += 1.0;
         for (int64_t v : nodes) scratch[v] = 0;
-        total_sampled.fetch_add((int64_t)nodes.size(), std::memory_order_relaxed);
+        chunk_nodes[t] += (int64_t)nodes.size();
       }
-      num_samples.fetch_add(num_steps, std::memory_order_relaxed);
-    }
-    // merge (guarded by a simple spin on a static mutex-free strategy:
-    // each thread adds into the shared buffers under its own stripe lock)
-    static std::atomic_flag merge_lock = ATOMIC_FLAG_INIT;
-    while (merge_lock.test_and_set(std::memory_order_acquire)) {}
-    for (int64_t i = 0; i < n; ++i) node_count[i] += nc[i];
-    for (int64_t i = 0; i < nnz; ++i) edge_count[i] += ec[i];
-    merge_lock.clear(std::memory_order_release);
-  };
+    };
+    std::vector<std::thread> threads;
+    for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+    for (int t = 0; t < num_threads; ++t) total_sampled += chunk_nodes[t];
+    num_samples += num_threads * kSamplesPerThread;
+    ++chunk;
+  }
 
-  std::vector<std::thread> threads;
-  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker, t);
-  for (auto& th : threads) th.join();
-  return num_samples.load();
+  // sequential merge in fixed thread order (counts are integer-valued
+  // doubles, so this is exact regardless)
+  for (int t = 0; t < num_threads; ++t) {
+    for (int64_t i = 0; i < n; ++i) node_count[i] += ncs[t][i];
+    for (int64_t i = 0; i < nnz; ++i) edge_count[i] += ecs[t][i];
+  }
+  return num_samples;
 }
 
 }  // extern "C"

@@ -47,6 +47,9 @@ def random_walk(
     walks = np.empty((num_walks, walk_length + 1), dtype=np.int64)
     walks[:, 0] = starts
     cur = starts.astype(np.int64)
+    if len(indices) == 0:  # edgeless graph: every walker stays put
+        walks[:, 1:] = cur[:, None]
+        return walks
     for step in range(walk_length):
         deg = indptr[cur + 1] - indptr[cur]
         r = rng.random(num_walks)
@@ -167,15 +170,18 @@ class GraphSaintRandomWalkSampler:
         """Original edge ids whose endpoints are both in `nodes` (sorted set)."""
         in_set = np.zeros(self.N, dtype=bool)
         in_set[nodes] = True
-        # gather candidate edges by source membership via CSR-over-sorted-src
-        spans = [
-            np.arange(self._src_indptr[v], self._src_indptr[v + 1])
-            for v in nodes
-        ]
-        if spans:
-            cand = np.concatenate(spans)
-        else:
-            cand = np.empty(0, dtype=np.int64)
+        # candidate edges by source membership, fully vectorized (the
+        # per-node np.arange list was an O(k) interpreter loop on the
+        # fallback hot path): repeat each node's span start and add a
+        # per-span ramp built from one cumsum
+        starts_ = self._src_indptr[nodes]
+        counts = self._src_indptr[nodes + 1] - starts_
+        total = int(counts.sum())
+        if total == 0:
+            return self._edge_order[np.empty(0, dtype=np.int64)]
+        ramp = np.arange(total, dtype=np.int64)
+        ramp -= np.repeat(np.cumsum(counts) - counts, counts)
+        cand = np.repeat(starts_, counts) + ramp
         keep = in_set[self._dst_sorted[cand]]
         return self._edge_order[cand[keep]]
 
@@ -225,9 +231,15 @@ class GraphSaintRandomWalkSampler:
 
     # -- collate (:112-135) -------------------------------------------------
     def _collate(self, nodes: np.ndarray, eids: np.ndarray) -> Graph:
-        relabel = np.full(self.N, -1, dtype=np.int64)
+        # persistent relabel scratch: reset only the touched entries
+        # (allocating + filling an O(N) array per sample dominates the
+        # collate cost on large base graphs; mirrors the C++ side)
+        relabel = getattr(self, "_relabel_scratch", None)
+        if relabel is None:
+            relabel = self._relabel_scratch = np.full(self.N, -1, np.int64)
         relabel[nodes] = np.arange(len(nodes))
         sub_edges = relabel[self.edge_index[:, eids]]
+        relabel[nodes] = -1
 
         def sel(a):
             return None if a is None else np.asarray(a)[nodes]
@@ -275,6 +287,20 @@ class GraphSaintRandomWalkSampler:
         sampling overlaps device compute (replacing torch DataLoader
         workers, SURVEY §3.1)."""
         q: "queue.Queue" = queue.Queue(maxsize=depth)
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that gives up when the consumer is gone — an
+            # unconditional q.put against a full queue leaked one
+            # permanently-blocked thread (pinning depth+1 padded Graphs)
+            # every time a training loop abandoned the generator mid-epoch
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             # Exceptions must reach the consumer: a dead producer thread
@@ -282,20 +308,31 @@ class GraphSaintRandomWalkSampler:
             # q.get() forever (a silent hang instead of an error).
             try:
                 for g in self:
-                    q.put(g)
-                q.put(None)
+                    if not put(g):
+                        return
+                put(None)
             except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # GeneratorExit (abandoned consumer) or normal end: release
+            # the producer and drain whatever it already queued
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 def _round_up(x: int, m: int) -> int:

@@ -19,28 +19,43 @@ _SRC_PATH = os.path.join(os.path.dirname(__file__), "csrc", "sampler.cc")
 
 
 def build_native(force: bool = False) -> Optional[str]:
-    """Compile the sampler library with g++ if needed."""
-    if os.path.exists(_LIB_PATH) and not force:
-        if not force and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC_PATH):
-            return _LIB_PATH
+    """Compile the sampler library with g++ if missing or STALE (source
+    newer than the .so). Compiles to a per-pid temp path and
+    os.replace()s it in, so concurrent first-use builds (pytest-xdist,
+    multi-process drivers) can't race on a half-linked library."""
+    if (not force and os.path.exists(_LIB_PATH)
+            and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC_PATH)):
+        return _LIB_PATH
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             "-pthread", _SRC_PATH, "-o", _LIB_PATH],
+             "-pthread", _SRC_PATH, "-o", tmp],
             check=True, capture_output=True,
         )
+        os.replace(tmp, _LIB_PATH)
         return _LIB_PATH
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        return None
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        # an existing (possibly stale) library is still usable
+        return _LIB_PATH if os.path.exists(_LIB_PATH) else None
 
 
 def load_native(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not os.path.exists(_LIB_PATH):
-        if not auto_build or build_native() is None:
+    # always consult build_native: it no-ops when the .so is fresh and
+    # REBUILDS when sampler.cc is newer (the old path only built on a
+    # missing file, silently running stale native code after source edits)
+    if auto_build:
+        if build_native() is None:
             return None
+    elif not os.path.exists(_LIB_PATH):
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -133,7 +148,11 @@ def norm_prepass_native(
     if lib is None:
         return None
     if num_threads <= 0:
-        num_threads = min(8, os.cpu_count() or 1)
+        # FIXED default (not cpu_count-derived): with the deterministic
+        # chunked pre-pass the processed-sample set depends on the thread
+        # count, so tying it to the host's cores would make norms differ
+        # across machines under the same seed
+        num_threads = 8
     nnz = len(edge_ids)
     node_count = np.zeros(num_nodes, np.float64)
     edge_count = np.zeros(nnz, np.float64)

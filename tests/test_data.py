@@ -362,3 +362,70 @@ def test_load_planetoid_raw_gapped_test_index(tmp_path, rng):
     np.testing.assert_array_equal(data.y[present], y_true[present])
     assert data.test_mask.sum() == len(present)
     assert not data.test_mask[7] and not data.test_mask[10]
+
+
+def test_native_norm_prepass_deterministic(rng):
+    """The native coverage pre-pass must be a pure function of
+    (graph, seed): the original free-running threads let scheduler
+    timing decide each thread's round count, so node/edge norms differed
+    run-to-run under a fixed seed."""
+    from ampnet_tpu.data.native import load_native
+    from ampnet_tpu.data.graphsaint import GraphSaintRandomWalkSampler
+
+    if load_native() is None:
+        pytest.skip("native sampler not built")
+    n, e = 120, 480
+    x = rng.random((n, 4)).astype(np.float32)
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+
+    def norms():
+        s = GraphSaintRandomWalkSampler(
+            x, ei, batch_size=4, walk_length=8, num_steps=5,
+            sample_coverage=10, seed=7,
+        )
+        return np.asarray(s.node_norm), np.asarray(s.edge_norm)
+
+    a_n, a_e = norms()
+    b_n, b_e = norms()
+    np.testing.assert_array_equal(a_n, b_n)
+    np.testing.assert_array_equal(a_e, b_e)
+
+
+def test_numpy_walk_edgeless_graph(rng):
+    """Walkers stay put on a graph with zero edges (the fallback indexed
+    an empty array at -1 and raised)."""
+    from ampnet_tpu.data.graphsaint import random_walk
+
+    indptr = np.zeros(9, np.int64)
+    indices = np.empty(0, np.int32)
+    starts = np.array([1, 5, 7])
+    w = random_walk(indptr, indices, starts, 4,
+                    np.random.default_rng(0))
+    assert w.shape == (3, 5)
+    np.testing.assert_array_equal(w, np.repeat(starts[:, None], 5, axis=1))
+
+
+def test_prefetch_abandoned_consumer_releases_producer(rng):
+    """Dropping the prefetch generator mid-epoch must not leak a
+    permanently-blocked producer thread (the old unconditional q.put
+    wedged on the full queue forever)."""
+    import threading
+    import time as _time
+
+    from ampnet_tpu.data.graphsaint import GraphSaintRandomWalkSampler
+
+    n, e = 60, 240
+    x = rng.random((n, 4)).astype(np.float32)
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    s = GraphSaintRandomWalkSampler(
+        x, ei, batch_size=4, walk_length=6, num_steps=50,
+        sample_coverage=0, seed=0,
+    )
+    before = threading.active_count()
+    it = s.prefetch(depth=2)
+    next(it)          # producer running, queue filling
+    it.close()        # abandon the generator (GeneratorExit -> finally)
+    deadline = _time.time() + 10.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
