@@ -86,6 +86,15 @@ def from_arrays(
     e_pad = pad_edges_to if pad_edges_to is not None else _round_up(max(e, 1), edge_multiple)
     if n_pad < n or e_pad < e:
         raise ValueError(f"pad sizes ({n_pad},{e_pad}) smaller than graph ({n},{e})")
+    if e > 0:
+        lo, hi = int(edge_index.min()), int(edge_index.max())
+        if lo < 0 or hi >= n:
+            # JAX gathers CLAMP out-of-range indices, so a 1-indexed or
+            # corrupted edge list would otherwise train silently on wrong
+            # rows — fail loudly at graph construction instead
+            raise ValueError(
+                f"edge_index references node ids [{lo}, {hi}] outside "
+                f"[0, {n})")
 
     def pad_n(a, fill=0, dtype=None):
         if a is None:
@@ -121,13 +130,32 @@ def from_arrays(
         test_mask=None if test_mask is None else jnp.asarray(as_bool(test_mask)),
         node_norm=None if node_norm is None else jnp.asarray(pad_n(np.asarray(node_norm, dtype=np.float32), fill=0.0)),
         edge_norm=None if edge_norm is None else jnp.asarray(
-            np.concatenate([np.asarray(edge_norm, dtype=np.float32), np.zeros(e_pad - e, np.float32)])
+            _pad_checked_edges(np.asarray(edge_norm, np.float32), e, e_pad)
         ),
     )
 
 
+def _pad_checked_edges(a: np.ndarray, e: int, e_pad: int) -> np.ndarray:
+    """Pad a per-edge array to e_pad with zeros, validating its length
+    against the LIVE edge count (an already-padded or short array would
+    silently build a wrong-length field and fail far from the cause)."""
+    if a.shape[0] != e:
+        raise ValueError(
+            f"per-edge array has length {a.shape[0]}, expected the live "
+            f"edge count {e} (pass UNPADDED per-edge data)")
+    out = np.zeros((e_pad,) + a.shape[1:], a.dtype)
+    out[:e] = a
+    return out
+
+
 def pad_graph(g: Graph, n_pad: int, e_pad: int) -> Graph:
-    """Re-pad an existing Graph to larger static sizes."""
+    """Re-pad an existing Graph to LARGER static sizes."""
+    if n_pad < g.num_nodes_padded or e_pad < g.num_edges_padded:
+        raise ValueError(
+            f"pad_graph target ({n_pad},{e_pad}) smaller than current "
+            f"({g.num_nodes_padded},{g.num_edges_padded}) — shrinking "
+            f"requires rebuilding via from_arrays")
+
     def padn(a, fill):
         if a is None:
             return None
@@ -179,7 +207,6 @@ def sort_edges_by_receiver(g: Graph) -> Tuple[Graph, jnp.ndarray]:
     Returns the sorted graph and the permutation (for unsorting aux data).
     Padded edges (mask False) sort to the end via a +inf key.
     """
-    e_pad = g.num_edges_padded
     key = jnp.where(g.edge_mask, g.receivers, jnp.int32(2**30))
     perm = jnp.argsort(key, stable=True)
     return (

@@ -90,6 +90,13 @@ def build_tiled_csr(
         slot_sorted[a:b] = ti * emax + np.arange(k)
     edge_slot = np.full(len(senders), -1, np.int64)
     edge_slot[sel_ids] = slot_sorted
+    if t * emax >= 2**31:
+        # slots are int32 downstream (SMEM scalars); a wrapped negative
+        # slot would be treated as MASKED by the runtime-mask scatter and
+        # silently drop the edge from attention — fail loudly instead
+        raise ValueError(
+            f"layout slot space {t}x{emax} overflows int32; lower "
+            f"edges_per_tile or raise tile_nodes")
     return TiledCSR(
         out_s, out_r, out_v, tn, t, emax,
         counts=counts.astype(np.int32), edge_slot=edge_slot.astype(np.int32),
@@ -165,7 +172,6 @@ def build_chunked_csr(
     out_s = np.zeros((t, ncmax * c), np.int32)
     out_r = np.zeros((t, ncmax), np.int32)
     out_v = np.zeros((t, ncmax * c), np.int32)
-    counts = np.zeros(t, np.int32)
     edge_slot = np.full(len(senders), -1, np.int64)
 
     # walk receiver runs in order; chunks land consecutively per tile
@@ -219,12 +225,18 @@ except ImportError:  # pragma: no cover
         tile_nodes: int = 64
 
 
-def default_edge_budget(num_edges_padded: int, num_tiles: int, slack: float = 2.0) -> int:
+def default_edge_budget(num_edges_padded: int, num_tiles: int,
+                        slack: float = 2.0, group: int = 1) -> int:
     """A safe fixed per-tile budget: slack * average edges per tile,
-    rounded to the SMEM-block multiple."""
+    rounded to the SMEM-block multiple — and to lcm(group, 128) when a
+    non-128-dividing group is used, so build_tiled_csr accepts its own
+    companion helper's output."""
+    import math
+
     avg = max(1, num_edges_padded // max(1, num_tiles))
     budget = int(avg * slack) + 128
-    return ((budget + 127) // 128) * 128
+    step = (128 * group) // math.gcd(128, max(group, 1))
+    return ((budget + step - 1) // step) * step
 
 
 def compute_layout(graph, tile_nodes: int = 64, edges_per_tile: int = 0) -> EdgeLayout:

@@ -82,3 +82,45 @@ def test_segment_max_and_count(rng):
     data = jnp.asarray([1.0, 5.0, -2.0, 7.0])
     np.testing.assert_allclose(segment_max(data, ids, 4), [5.0, -2.0, 0.0, 7.0])
     np.testing.assert_allclose(segment_count(ids, 4), [2, 1, 0, 1])
+
+
+def test_segment_softmax_extreme_masked_logit_gradients():
+    """A masked logit far above the live max must not poison the live
+    lanes' gradients (double-where: exp of the unclamped masked lane
+    overflowed to inf and 0*inf=nan summed into every grad)."""
+    import jax
+
+    logits = jnp.array([0.0, 200.0])
+    ids = jnp.array([0, 0])
+    mask = jnp.array([True, False])
+    out = segment_softmax(logits, ids, 1, mask)
+    np.testing.assert_allclose(np.asarray(out), [1.0, 0.0])
+    g = jax.grad(lambda l: segment_softmax(l, ids, 1, mask).sum())(logits)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_segment_max_initial_and_int_dtypes():
+    """Empty segments honor `initial`; integer inputs keep their dtype
+    (both were broken: initial was dead, ints promoted to float with
+    INT_MIN empties)."""
+    out = segment_max(jnp.array([3.0]), jnp.array([0]), 2,
+                      mask=jnp.array([True]), initial=-1e9)
+    np.testing.assert_allclose(np.asarray(out), [3.0, -1e9])
+    out = segment_max(jnp.array([3, 4], jnp.int32), jnp.array([0, 0]), 3)
+    assert out.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(out), [4, 0, 0])
+
+
+def test_from_arrays_rejects_out_of_range_edges():
+    """JAX gathers clamp silently — graph construction must reject edge
+    ids outside [0, n)."""
+    import pytest
+
+    from ampnet_tpu.core.graph import from_arrays
+
+    x = np.zeros((4, 3), np.float32)
+    with pytest.raises(ValueError, match="outside"):
+        from_arrays(x, np.array([[0, 9], [1, 2]]))
+    with pytest.raises(ValueError, match="length"):
+        from_arrays(x, np.array([[0, 1], [1, 2]]),
+                    edge_norm=np.ones(5, np.float32))
