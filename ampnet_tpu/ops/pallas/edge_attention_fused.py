@@ -68,17 +68,44 @@ FUSE_PROJ_DEFAULT = os.environ.get("AMPNET_FUSE_PROJ", "1") == "1"
 _V6_VMEM_LIMIT = int(os.environ.get("AMPNET_V6_VMEM_LIMIT", 120 * 1024 * 1024))
 
 
+def _softmax_stack_bytes(group: int, sp: int, num_heads: int) -> int:
+    """Estimate of the attention body's peak VMEM *stack* (Mosaic
+    allocates kernel temporaries on a scoped stack, on top of the
+    declared scratch). The softmax chain holds ~4 f32 arrays live whose
+    LAST dim is padded to 128 lanes — at SP=24 that is a 5.3x inflation
+    the pre-r2 guard missed: stacked g=96 at Cora scale needs ~18.5 MiB
+    of stack (measured via the compiler's scoped-vmem error: 121.21 MiB
+    total vs the 104.7 MiB the old formula predicted) and overflowed the
+    120 MiB limit the guard had approved."""
+    lane = 128
+
+    def padded(rows_outer, rows_inner, cols):
+        return rows_outer * rows_inner * (-(-cols // lane) * lane) * 4
+
+    if STACKED_SOFTMAX_DEFAULT:
+        geff = num_heads * group       # chain runs over [H*G, SP, SP]
+    elif PACKED_SOFTMAX_DEFAULT:
+        return 4 * padded(group, sp, num_heads * sp)  # [G, SP, H*SP]
+    else:
+        geff = group                   # per-head: [G, SP, SP], heads serial
+    return 4 * padded(geff, sp, sp)
+
+
 def _v6_fits(n_rows: int, d: int, itemsize: int,
-             tile_rows: int = 0, group_rows: int = 0) -> bool:
+             tile_rows: int = 0, group_rows: int = 0,
+             sp: int = 0, num_heads: int = 1) -> bool:
     """Full v6 VMEM accounting against the raised budget: x resident
     [R, D] + kvscr scratch [R, 2D] + weight blocks + the per-tile
-    scratches (qscr, f32 acc, out block, gather buffers) + 2 MB slack
-    for Mosaic's own buffers."""
+    scratches (qscr, f32 acc, out block, gather buffers) + the softmax
+    chain's lane-padded stack temporaries + 2 MB slack for Mosaic's own
+    buffers."""
     resident = n_rows * 3 * d * itemsize                  # x + kvscr
     weights = (3 * d * d + d * d + 4 * d) * itemsize      # w_qkv/b/w_out/b
     per_tile = tile_rows * d * (2 * itemsize + 4)         # qscr + out + acc
     bufs = group_rows * 3 * d * itemsize                  # qbuf + kvbuf
-    total = resident + weights + per_tile + bufs + 2 * 1024 * 1024
+    group = group_rows // max(sp, 1) if sp else 0
+    stack = _softmax_stack_bytes(group, sp, num_heads) if sp else 0
+    total = resident + weights + per_tile + bufs + stack + 2 * 1024 * 1024
     return total <= _V6_VMEM_LIMIT
 
 
@@ -1236,7 +1263,7 @@ def amp_edge_attention_pallas_core(
 
     g6 = group if group else _auto_group(sp, tcsr.edges_per_tile, gather)
     if _v6_usable(n, n_tiles_nodes, sp, d, x.dtype, tcsr.tile_nodes, g6,
-                  gather):
+                  gather, num_heads=num_heads):
         counts = (jnp.asarray(tcsr.counts) if tcsr.counts is not None
                   else _structural_counts(jnp.asarray(tcsr.valid)[:, None, :]))
         return _v6_call(
@@ -1552,7 +1579,8 @@ _STREAM_CHUNK_BYTES = int(
 
 
 def _v6_usable(n: int, n_tiles_nodes: int, sp: int, d: int, dtype,
-               tile_nodes: int, group: int, gather: str) -> bool:
+               tile_nodes: int, group: int, gather: str,
+               num_heads: int = 1) -> bool:
     """v6 preconditions: enabled, vmem gather, the tile grid covers every
     node (kvscr is sized to the grid; senders index all N nodes), and the
     full VMEM accounting fits the raised budget."""
@@ -1561,7 +1589,8 @@ def _v6_usable(n: int, n_tiles_nodes: int, sp: int, d: int, dtype,
             and n_tiles_nodes >= n
             and _v6_fits(n_tiles_nodes * sp, d, itemsize,
                          tile_rows=tile_nodes * sp,
-                         group_rows=group * sp))
+                         group_rows=group * sp,
+                         sp=sp, num_heads=num_heads))
 
 
 def _v6_call(x, params, senders3, recv3, valid3, counts, receivers,
@@ -1639,7 +1668,8 @@ def _pallas_core_dynamic(
 
     if (not return_parts
             and _v6_usable(n, n_tiles_nodes, sp, d, x.dtype,
-                           tcsr.tile_nodes, group, gather)):
+                           tcsr.tile_nodes, group, gather,
+                           num_heads=num_heads)):
         # v6 whole-layer kernel: raw rows in, layer output out — the QKV
         # and output projections run in-kernel, skipping the ~300 MB/layer
         # (Cora scale) of qkv + mean/out-proj HBM round-trips. Training
