@@ -31,7 +31,11 @@ def main():
     ap.add_argument("--raw-residual", type=str, default="",
                 help="'' (off) | mlp | gcn | gcn2")
     ap.add_argument("--dropout", type=float, default=0.1)
+    ap.add_argument("--dropout-adj", type=float, default=0.0)
     ap.add_argument("--weight-decay", type=float, default=5e-4)
+    ap.add_argument("--transformer-block", action="store_true",
+                    help="pre-LN transformer stack (the 0.901 recipe "
+                    "composes this with raw_residual=gcn2)")
     args = ap.parse_args()
 
     d, full_g = cora_graph()
@@ -39,7 +43,8 @@ def main():
 
     cfg = AMPGCNConfig(
         num_sampled_vectors=40, token_sampling="tfidf", scaler="precomputed",
-        dropout_rate=args.dropout,
+        dropout_rate=args.dropout, dropout_adj_rate=args.dropout_adj,
+        transformer_block=args.transformer_block,
         raw_residual=args.raw_residual or False,
     )
     rows = []
@@ -61,7 +66,8 @@ def main():
 
     tests = np.array([r[2] for r in rows])
     vals = np.array([r[1] for r in rows])
-    print(f"\n=== {len(rows)} seeds (raw_residual={args.raw_residual}) ===")
+    print(f"\n=== {len(rows)} seeds (raw_residual={args.raw_residual}, "
+          f"tblock={args.transformer_block}) ===")
     print(f"test: mean {tests.mean():.4f} std {tests.std():.4f} "
           f"min {tests.min():.4f} max {tests.max():.4f}")
     print(f"val:  mean {vals.mean():.4f} std {vals.std():.4f}")
