@@ -691,6 +691,167 @@ def _bwd_kernel_dma(
     dq_out_ref[:] = dqacc_ref[:].astype(dq_out_ref.dtype)
 
 
+def _bwd_kernel_dma_compact(
+    ng_ref,        # SMEM [1, T] int32 STRUCTURAL edge-group trip counts
+    senders_ref, recv_ref, valid_ref,
+    q_ref,         # VMEM [TN*SP, D]
+    kv_hbm,        # ANY [N_all*SP, 2D] — too big for VMEM; DMA per edge
+    dsum_ref,      # VMEM [TN*SP, D]
+    dq_out_ref, dkv_stream,
+    dqacc_ref, qbuf_ref, kvbuf_ref,  # kvbuf [2, G*SP, 2D]
+    dmbuf_ref, dkvbuf_ref,
+    gsems,         # DMA sems (2, G) — K|V gathers
+    ssems,         # DMA sems (2,)   — stream writes
+    *,
+    s: int, sp: int, d: int, num_heads: int, group: int, emax: int,
+    softmax: bool,
+):
+    """Production-scale backward, COMPACT body: the v2 kernel's batched
+    [G, SP, dh] x [G, dh, SP] per-head dots (scores/softmax-bwd linear in
+    G — the block-diagonal _bwd_kernel_dma wastes (G-1)/G of that work)
+    with _bwd_kernel_dma's double-buffered async K|V gathers from
+    ANY/HBM. Groups are free of the G | EMAX packing contract (idx clamp
+    + dup masking, as in _bwd_kernel_vmem_v2), so the stream is written
+    at the GROUP-ALIGNED stride EG = ceil(EMAX/G)*G rows per tile; pass B
+    masks ragged/unwritten slots via EG-padded validity."""
+    g = group
+    dh = d // num_heads
+    scale = 1.0 / (dh ** 0.5)
+    eg = -(-emax // g) * g
+    t = pl.program_id(0)
+    ng = ng_ref[0, t]
+
+    dqacc_ref[:] = jnp.zeros(dqacc_ref.shape, dqacc_ref.dtype)
+
+    def gather_dma(gi, slot, j):
+        idx = jnp.minimum(gi * g + j, emax - 1)
+        ns = senders_ref[0, 0, idx]
+        return pltpu.make_async_copy(
+            kv_hbm.at[pl.ds(ns * sp, sp), :],
+            kvbuf_ref.at[slot, pl.ds(j * sp, sp), :],
+            gsems.at[slot, j],
+        )
+
+    def start_gather(gi, slot):
+        for j in range(g):
+            gather_dma(gi, slot, j).start()
+
+    def wait_gather(gi, slot):
+        for j in range(g):
+            gather_dma(gi, slot, j).wait()
+
+    def stream_dma(gi, slot):
+        row0 = (t * eg + gi * g) * sp
+        return pltpu.make_async_copy(
+            dkvbuf_ref.at[slot],
+            dkv_stream.at[pl.ds(row0, g * sp), :],
+            ssems.at[slot],
+        )
+
+    @pl.when(ng >= 1)
+    def _():
+        start_gather(0, 0)
+
+    col_tok3 = jax.lax.broadcasted_iota(jnp.int32, (g, sp, sp), 2)
+    kmask = col_tok3 < s
+
+    def body(gi, _):
+        slot = jax.lax.rem(gi, 2)
+        nxt = jax.lax.rem(gi + 1, 2)
+
+        @pl.when(gi + 1 < ng)
+        def _():
+            start_gather(gi + 1, nxt)
+
+        wait_gather(gi, slot)
+        r_cache, v_cache = [], []
+        for j in range(g):
+            idx = jnp.minimum(gi * g + j, emax - 1)
+            r = recv_ref[0, 0, idx]
+            dup = (gi * g + j) > idx
+            val = jnp.where(dup, 0, valid_ref[0, 0, idx]).astype(q_ref.dtype)
+            r_cache.append(r)
+            v_cache.append(val)
+            qbuf_ref[pl.ds(j * sp, sp), :] = q_ref[pl.ds(r * sp, sp), :]
+            # invalid/ragged edges contribute nothing: zero their dMsg rows
+            dmbuf_ref[pl.ds(j * sp, sp), :] = dsum_ref[pl.ds(r * sp, sp), :] * val
+
+        dtype = qbuf_ref.dtype
+        q3 = qbuf_ref[:].reshape(g, sp, d)
+        kv3 = kvbuf_ref[slot].reshape(g, sp, 2 * d)
+        dm3 = dmbuf_ref[:].reshape(g, sp, d)
+        dq_heads, dk_heads, dv_heads = [], [], []
+        for h in range(num_heads):
+            qh = q3[:, :, h * dh : (h + 1) * dh]
+            kh = kv3[:, :, h * dh : (h + 1) * dh]
+            vh = kv3[:, :, d + h * dh : d + (h + 1) * dh]
+            dmh = dm3[:, :, h * dh : (h + 1) * dh]
+            scores = jax.lax.dot_general(
+                qh * jnp.asarray(scale, dtype), kh,
+                (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+            )  # [G, SPq, SPk]
+            if softmax:
+                scores = jnp.where(kmask, scores, -jnp.inf)
+                mx = jnp.max(scores, axis=2, keepdims=True)
+                ex = jnp.exp(scores - mx)
+                w = ex / jnp.sum(ex, axis=2, keepdims=True)
+            else:
+                w = jnp.where(kmask, scores, 0.0)
+            wt = w.astype(dtype)
+            dv_h = jax.lax.dot_general(
+                wt, dmh, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [G, SPk, dh]
+            dwm = jax.lax.dot_general(
+                dmh, vh, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [G, SPq, SPk]
+            if softmax:
+                ds = w * (dwm - jnp.sum(dwm * w, axis=2, keepdims=True))
+            else:
+                ds = jnp.where(kmask, dwm, 0.0)
+            ds = ds.astype(dtype)
+            dq_heads.append(jax.lax.dot_general(
+                ds, kh, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale)  # [G, SPq, dh]
+            dk_heads.append(jax.lax.dot_general(
+                ds, qh, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale)  # [G, SPk, dh]
+            dv_heads.append(dv_h)
+        dq_g = jnp.concatenate(dq_heads, axis=2).reshape(g * sp, d)
+        dkv_g = jnp.concatenate(dk_heads + dv_heads, axis=2).reshape(
+            g * sp, 2 * d
+        )
+
+        @pl.when(gi >= 2)
+        def _():
+            stream_dma(gi - 2, slot).wait()
+        dkvbuf_ref[slot] = dkv_g
+        stream_dma(gi, slot).start()
+
+        for j in range(g):
+            r = r_cache[j]
+            val = v_cache[j].astype(jnp.float32)
+            block = dq_g[j * sp : (j + 1) * sp, :] * val
+            cur = dqacc_ref[pl.ds(r * sp, sp), :]
+            dqacc_ref[pl.ds(r * sp, sp), :] = cur + block
+        return 0
+
+    jax.lax.fori_loop(0, ng, body, 0)
+
+    @pl.when(ng >= 1)
+    def _():
+        stream_dma(ng - 1, jax.lax.rem(ng - 1, 2)).wait()
+
+    @pl.when(ng >= 2)
+    def _():
+        stream_dma(ng - 2, jax.lax.rem(ng - 2, 2)).wait()
+
+    dq_out_ref[:] = dqacc_ref[:].astype(dq_out_ref.dtype)
+
+
 def fused_edge_bwd_v2(*args, packed=None, stacked=None, **kw):
     """Resolve env-default body flags OUTSIDE the jit boundary (static
     args resolved inside the traced function would let a flipped module
@@ -823,7 +984,12 @@ def fused_edge_bwd(
     # tile_valid carries a runtime (dropout) mask: trip counts derived
     # from a holed mask would skip structurally-live tail groups
 ):
-    """Returns (dq_rows [Nt*SP, D] f32, dkv_stream [T*EMAX*SP, 2D] f32)."""
+    """Returns (dq_rows [Nt*SP, D] f32, dkv_stream [T*EG*SP, 2D] f32),
+    where EG = EMAX for the vmem/legacy-dma bodies (G | EMAX there) and
+    EG = ceil(EMAX/G)*G for the compact dma body — compute the stride the
+    same way in pass B."""
+    from ampnet_tpu.ops.pallas import edge_attention_fused as _eaf
+
     sp = q_rows.shape[0] // (num_tiles * tile_nodes)
     d = q_rows.shape[1]
     tn = tile_nodes
@@ -831,6 +997,7 @@ def fused_edge_bwd(
               else jnp.sum((tile_valid != 0).astype(jnp.int32), axis=(1, 2)))
     ngroups = ((counts.astype(jnp.int32) + group - 1) // group).reshape(
         1, num_tiles)
+    eg = emax
     if gather == "vmem":
         kernel = functools.partial(
             _bwd_kernel_vmem,
@@ -849,8 +1016,11 @@ def fused_edge_bwd(
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
+        body = _bwd_kernel_dma if _eaf.DMA_V1_DEFAULT else _bwd_kernel_dma_compact
+        if not _eaf.DMA_V1_DEFAULT:
+            eg = -(-emax // group) * group
         kernel = functools.partial(
-            _bwd_kernel_dma,
+            body,
             s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
             softmax=softmax,
         )
@@ -882,7 +1052,7 @@ def fused_edge_bwd(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles * tn * sp, d), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles * emax * sp, 2 * d), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles * eg * sp, 2 * d), jnp.float32),
         ),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(

@@ -14,9 +14,11 @@ into one kernel over a node-tile grid with a tiled-CSR edge layout
     HBM-resident projected node array, double-buffered per edge group —
     no [E, S, D] gather materialization in HBM (the XLA path's dominant
     traffic);
-  * per edge group of G edges, attention runs as one block-diagonal
-    [G*S, G*S] matmul pair per head on the MXU (compute waste G, chosen
-    small; the op is HBM-bound);
+  * per edge group of G edges, attention runs as BATCHED (3-D)
+    [G, S, dh] x [G, dh, S] dots per head on the MXU — scores/softmax
+    tensors linear in G (the round-1 block-diagonal [G*S, G*S] bodies,
+    which waste (G-1)/G of that work, remain only behind AMPNET_DMA_V1
+    for A/Bs);
   * messages scatter-accumulate into a VMEM accumulator, written to HBM
     once per tile.
 
@@ -66,6 +68,13 @@ STACKED_SOFTMAX_DEFAULT = os.environ.get("AMPNET_STACKED_SOFTMAX", "0") == "1"
 # residents fit the VMEM budget
 FUSE_PROJ_DEFAULT = os.environ.get("AMPNET_FUSE_PROJ", "1") == "1"
 _V6_VMEM_LIMIT = int(os.environ.get("AMPNET_V6_VMEM_LIMIT", 120 * 1024 * 1024))
+# Production-scale 'dma' gather body: default is dma-compact (the v4
+# overlap body — compact batched dots + double-buffered async K|V+Q
+# copies — reading K|V from the HBM-resident array: same kernel code,
+# ANY memory space). AMPNET_DMA_V1=1 restores the round-1
+# block-diagonal DMA kernel (g=8, [G*SP, G*SP] scores with 1/G useful
+# work) for A/Bs.
+DMA_V1_DEFAULT = os.environ.get("AMPNET_DMA_V1", "0") == "1"
 
 
 def _softmax_stack_bytes(group: int, sp: int, num_heads: int) -> int:
@@ -998,7 +1007,7 @@ def _fused_edge_sums_v2(*args, packed=None, stacked=None, **kw):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret", "compact", "overlap", "packed", "stacked"),
+    static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret", "compact", "overlap", "packed", "stacked", "gather"),
 )
 def _fused_edge_sums_v2_impl(
     q_rows: jnp.ndarray,         # [NT*SP, D]
@@ -1020,6 +1029,7 @@ def _fused_edge_sums_v2_impl(
     overlap: bool = False,
     packed: bool = False,
     stacked: bool = False,
+    gather: str = "vmem",
 ):
     sp = q_rows.shape[0] // (num_tiles * tile_nodes)
     d = q_rows.shape[1]
@@ -1027,6 +1037,14 @@ def _fused_edge_sums_v2_impl(
     ngroups = ((tile_counts.astype(jnp.int32) + group - 1) // group).reshape(
         1, num_tiles
     )
+    if gather == "dma":
+        # dma-compact: the v4 overlap body gathers via async copies,
+        # which read from ANY (HBM) exactly as from resident VMEM — so
+        # the production-scale path gets the compact batched-dot
+        # attention (scores linear in G) instead of the v1
+        # block-diagonal body, with the K|V stream double-buffered
+        # under the group's compute.
+        overlap = True
     if overlap:
         kernel = functools.partial(
             _fused_kernel_vmem_v4,
@@ -1060,7 +1078,8 @@ def _fused_edge_sums_v2_impl(
             pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tn * sp, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kv_rows.shape[0], 2 * d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY) if gather == "dma"
+            else pl.BlockSpec((kv_rows.shape[0], 2 * d), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tn * sp, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((num_tiles * tn * sp, d), jnp.float32),
@@ -1284,7 +1303,7 @@ def amp_edge_attention_pallas_core(
         q_rows = jnp.pad(q_rows, ((0, pad), (0, 0)))
         kv_rows = jnp.pad(kv_rows, ((0, pad), (0, 0)))
 
-    if gather == "vmem":
+    if gather == "vmem" or not DMA_V1_DEFAULT:
         counts = (jnp.asarray(tcsr.counts) if tcsr.counts is not None
                   else _structural_counts(jnp.asarray(tcsr.valid)[:, None, :]))
         sums = _fused_edge_sums_v2(
@@ -1296,7 +1315,7 @@ def amp_edge_attention_pallas_core(
             tile_nodes=tcsr.tile_nodes,
             group=group if group else _auto_group(sp, tcsr.edges_per_tile, gather),
             num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
-            interpret=interpret,
+            gather=gather, interpret=interpret,
         )
     else:
         sums = _fused_edge_sums(
@@ -1430,8 +1449,9 @@ def _pallas_bwd_dynamic(
     m0 = (count > 0)[:, None, None]
     gm = jnp.where(m0, gout, 0.0)
     vmem = gather == "vmem"
-    group = (_auto_group(sp, tcsr.edges_per_tile, gather) if vmem
-             else (8 if tcsr.edges_per_tile % 8 == 0 else 1))
+    # _auto_group handles both modes: compact groups everywhere except
+    # the legacy v1 dma body (AMPNET_DMA_V1=1), which keeps G | EMAX
+    group = _auto_group(sp, tcsr.edges_per_tile, gather)
     counts = (tcsr.counts if getattr(tcsr, "counts", None) is not None
               else _structural_counts(tcsr.valid))
 
@@ -1489,7 +1509,11 @@ def _pallas_bwd_dynamic(
         # slice of tiles and folding its stream into the dkv accumulator
         # before the next slice caps the live stream at
         # AMPNET_STREAM_CHUNK_BYTES; total FLOPs/traffic are unchanged.
-        stream_rows_total = tcsr.num_tiles * emax * sp
+        # the compact dma body writes its stream at the GROUP-ALIGNED
+        # stride EG = ceil(EMAX/G)*G (free of the v1 G | EMAX contract);
+        # under the legacy body group divides emax, so EG == EMAX
+        ebg = -(-emax // group) * group
+        stream_rows_total = tcsr.num_tiles * ebg * sp
         chunk_budget = _STREAM_CHUNK_BYTES
         n_chunks = max(1, -(-stream_rows_total * 2 * d * 4 // chunk_budget))
         tc = -(-tcsr.num_tiles // n_chunks)          # tiles per chunk
@@ -1512,14 +1536,16 @@ def _pallas_bwd_dynamic(
                 tile_counts=counts[t0:t1],
             )
             dq_parts.append(dq_c)
-            fs = tcsr.senders[t0:t1].reshape(-1)
-            fv = tcsr.valid[t0:t1].reshape(-1) != 0
+            fs = pad_flat_to_eg(tcsr.senders[t0:t1].reshape(ntc, emax),
+                                emax, group)
+            fv = pad_flat_to_eg(tcsr.valid[t0:t1].reshape(ntc, emax),
+                                emax, group) != 0
             # fold IN PLACE (scatter-add into the accumulator, which XLA
             # can alias) rather than `acc + segment_sum(...)`: the latter
             # let the scheduler materialize every chunk's [nt, SP, 2D]
             # partial before the adds — 6x 2.29 GB live at 1M edges, OOM.
             contrib = jnp.where(
-                fv[:, None, None], stream_c.reshape(ntc * emax, sp, 2 * d), 0.0
+                fv[:, None, None], stream_c.reshape(ntc * ebg, sp, 2 * d), 0.0
             )
             dkv_nodes_rows = dkv_nodes_rows.at[fs].add(contrib)
             # serialize the chunks: the next pass A reads the barriered
@@ -1635,9 +1661,10 @@ def _auto_group(sp: int, emax: int, gather: str) -> int:
     so bigger groups amortize per-group overhead with no quadratic
     penalty; the measured optimum at Cora scale is G*SP ~= 768
     (kernel_probe3/3b r2: g=32 1.43 ms, g=64 1.64, g=16 1.74, g=8 2.53 —
-    vs the block-diag bodies' best of 2.29 ms at g=8). The v1 DMA path
-    keeps its packed-group contract (G must divide EMAX)."""
-    if gather == "vmem":
+    vs the block-diag bodies' best of 2.29 ms at g=8). The dma path's v5
+    body shares the compact-group contract; only the legacy v1 DMA body
+    (AMPNET_DMA_V1=1) keeps its packed-group constraint (G | EMAX)."""
+    if gather == "vmem" or not DMA_V1_DEFAULT:
         return max(1, 768 // sp)
     return 8 if emax % 8 == 0 else 1
 
@@ -1692,14 +1719,14 @@ def _pallas_core_dynamic(
         pad = (n_tiles_nodes - n) * sp
         q_rows = jnp.pad(q_rows, ((0, pad), (0, 0)))
         kv_rows = jnp.pad(kv_rows, ((0, pad), (0, 0)))
-    if gather == "vmem":
+    if gather == "vmem" or not DMA_V1_DEFAULT:
         counts = (tcsr.counts if tcsr.counts is not None
                   else _structural_counts(tcsr.valid))
         sums = _fused_edge_sums_v2(
             q_rows, kv_rows, tcsr.senders, tcsr.recv_local, tcsr.valid, counts,
             num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
             group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile,
-            s=s, interpret=interpret,
+            s=s, gather=gather, interpret=interpret,
         )
     else:
         sums = _fused_edge_sums(

@@ -67,6 +67,28 @@ def test_fused_kernel_parity_interpret(rng, softmax, gather):
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
+def test_dma_v1_legacy_parity_interpret(rng, monkeypatch):
+    """The legacy block-diagonal DMA body (AMPNET_DMA_V1=1) stays
+    correct now that the default 'dma' route is the compact v4 body
+    reading K|V from ANY/HBM."""
+    from ampnet_tpu.ops.pallas import edge_attention_fused as eaf
+
+    monkeypatch.setattr(eaf, "DMA_V1_DEFAULT", True)
+    x, senders, receivers, mask = build_case(rng)
+    params = make_params(rng)
+    tcsr = build_tiled_csr(senders, receivers, mask, 16, tile_nodes=8, group=4)
+
+    fused = amp_edge_attention_pallas_core(
+        x, params, tcsr, jnp.asarray(receivers), jnp.asarray(mask),
+        H, softmax=True, gather="dma", interpret=True,
+    )
+    ref, _ = amp_edge_attention(
+        x, jnp.asarray(senders), jnp.asarray(receivers), jnp.asarray(mask),
+        params, H, softmax=True, return_weights=False,
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
 @pytest.mark.parametrize("softmax", [True, False])
 def test_stacked_body_parity_interpret(rng, softmax, monkeypatch):
     """Head-STACKED compact softmax body (heads batched on axis 0 of one
