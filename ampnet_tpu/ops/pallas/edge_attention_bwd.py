@@ -956,14 +956,27 @@ def pad_flat_to_eg(arr2d: jnp.ndarray, emax: int, group: int) -> jnp.ndarray:
     return jnp.pad(arr2d, ((0, 0), (0, eg - emax))).reshape(t * eg)
 
 
+def fused_edge_bwd(*args, dma_v1=None, **kw):
+    """Resolve the env-default DMA body flag OUTSIDE the jit boundary
+    (mirrors fused_edge_bwd_v2): the flag picks the kernel body AND the
+    dkv_stream output stride (eg), so resolving it inside the traced
+    function would let a flipped AMPNET_DMA_V1 / monkeypatched default
+    silently reuse the stale compiled kernel in an in-process A/B."""
+    from ampnet_tpu.ops.pallas import edge_attention_fused as _eaf
+
+    if dma_v1 is None:
+        dma_v1 = _eaf.DMA_V1_DEFAULT
+    return _fused_edge_bwd_impl(*args, dma_v1=dma_v1, **kw)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax",
-        "s", "gather", "interpret",
+        "s", "gather", "interpret", "dma_v1",
     ),
 )
-def fused_edge_bwd(
+def _fused_edge_bwd_impl(
     q_rows: jnp.ndarray,      # [Nt*SP, D]
     kv_rows: jnp.ndarray,     # [Nt*SP, 2D]
     dsum_rows: jnp.ndarray,   # [Nt*SP, D]
@@ -980,6 +993,7 @@ def fused_edge_bwd(
     s: int,
     gather: str = "vmem",
     interpret: bool = False,
+    dma_v1: bool = False,
     tile_counts=None,  # [T] STRUCTURAL live-edge counts — REQUIRED when
     # tile_valid carries a runtime (dropout) mask: trip counts derived
     # from a holed mask would skip structurally-live tail groups
@@ -988,8 +1002,6 @@ def fused_edge_bwd(
     where EG = EMAX for the vmem/legacy-dma bodies (G | EMAX there) and
     EG = ceil(EMAX/G)*G for the compact dma body — compute the stride the
     same way in pass B."""
-    from ampnet_tpu.ops.pallas import edge_attention_fused as _eaf
-
     sp = q_rows.shape[0] // (num_tiles * tile_nodes)
     d = q_rows.shape[1]
     tn = tile_nodes
@@ -1016,8 +1028,8 @@ def fused_edge_bwd(
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
-        body = _bwd_kernel_dma if _eaf.DMA_V1_DEFAULT else _bwd_kernel_dma_compact
-        if not _eaf.DMA_V1_DEFAULT:
+        body = _bwd_kernel_dma if dma_v1 else _bwd_kernel_dma_compact
+        if not dma_v1:
             eg = -(-emax // group) * group
         kernel = functools.partial(
             body,

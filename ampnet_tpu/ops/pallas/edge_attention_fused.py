@@ -1456,14 +1456,19 @@ def _pallas_bwd_dynamic(
               else _structural_counts(tcsr.valid))
 
     if sums is None:
-        # no residuals available: recompute via one extra forward pass
-        if vmem:
+        # no residuals available: recompute via one extra forward pass.
+        # Routing mirrors _pallas_core_dynamic: the compact v2 body serves
+        # both gather modes unless the legacy v1 dma body is forced —
+        # `group` above came from _auto_group's compact branch, which
+        # breaks the v1 body's G | EMAX packing contract (unclamped
+        # gi*g+j SMEM indexing past EMAX).
+        if vmem or not DMA_V1_DEFAULT:
             sums_rows = _fused_edge_sums_v2(
                 q_rows, kv_rows, tcsr.senders, tcsr.recv_local, tcsr.valid,
                 counts,
                 num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
                 group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile,
-                s=s, interpret=interpret,
+                s=s, gather=gather, interpret=interpret,
             )
         else:
             sums_rows = _fused_edge_sums(

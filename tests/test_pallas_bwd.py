@@ -96,6 +96,44 @@ def test_fused_bwd_dma_gather_matches_xla_vjp(rng, softmax):
     np.testing.assert_allclose(np.asarray(gp_f.w_qkv), np.asarray(gp_r.w_qkv), rtol=3e-3, atol=3e-4)
 
 
+@pytest.mark.parametrize("softmax", [True, False])
+def test_fused_bwd_dma_v1_legacy_matches_xla_vjp(rng, softmax, monkeypatch):
+    """Legacy block-diagonal DMA backward body (AMPNET_DMA_V1=1), kept for
+    on-chip A/Bs: now that fused_edge_bwd threads dma_v1 as a static jit
+    arg (resolved outside trace), the flipped default reaches the kernel
+    and the v1 bwd stays regression-tested."""
+    import ampnet_tpu.ops.pallas.edge_attention_fused as eaf
+
+    monkeypatch.setattr(eaf, "DMA_V1_DEFAULT", True)
+    x, senders, receivers, mask, params = make_case(rng)
+    # v1 contract: group | EMAX
+    tcsr = build_tiled_csr(senders, receivers, mask, 16, tile_nodes=8, group=4)
+
+    def fused_loss(x, params):
+        out = amp_edge_attention_pallas(
+            x, params, jnp.asarray(senders), jnp.asarray(receivers),
+            jnp.asarray(mask),
+            jnp.asarray(tcsr.senders), jnp.asarray(tcsr.recv_local),
+            jnp.asarray(tcsr.valid),
+            num_heads=H, softmax=softmax, tile_nodes=8,
+            gather="dma", fused_bwd=True, interpret=True,
+        )
+        return jnp.sum(out * jnp.cos(out))
+
+    def ref_loss(x, params):
+        out, _ = amp_edge_attention(
+            x, jnp.asarray(senders), jnp.asarray(receivers), jnp.asarray(mask),
+            params, H, softmax=softmax, return_weights=False,
+        )
+        return jnp.sum(out * jnp.cos(out))
+
+    lf, (gx_f, gp_f) = jax.value_and_grad(fused_loss, argnums=(0, 1))(x, params)
+    lr, (gx_r, gp_r) = jax.value_and_grad(ref_loss, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(lf, lr, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), rtol=3e-3, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gp_f.w_qkv), np.asarray(gp_r.w_qkv), rtol=3e-3, atol=3e-4)
+
+
 def test_dma_bwd_stream_chunking_matches_unchunked(rng, monkeypatch):
     """Tile-chunked pass A+B (the 1M-edge-scale memory cap) must be exactly
     the same math as the single-stream path: chunk boundaries only change
