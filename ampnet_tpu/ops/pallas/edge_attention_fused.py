@@ -63,6 +63,12 @@ from ampnet_tpu.ops.segment import segment_count
 # precision) — so per-head is the default. AMPNET_PACKED_SOFTMAX=1 opts in.
 PACKED_SOFTMAX_DEFAULT = os.environ.get("AMPNET_PACKED_SOFTMAX", "0") == "1"
 STACKED_SOFTMAX_DEFAULT = os.environ.get("AMPNET_STACKED_SOFTMAX", "0") == "1"
+# Edge-groups-on-LANES softmax (VERDICT r2 #2, the last untried layout):
+# transpose each head's scores from [G, SP, SP] to [SP, SP, G] so the
+# elementwise softmax chain runs with G on the 128-lane axis (full lane
+# utilization at G>=128 vs SP=24 -> 18.75% in every SP-on-lanes layout).
+# The two relayouts per head per group are the cost under measurement.
+LANES_SOFTMAX_DEFAULT = os.environ.get("AMPNET_LANES_SOFTMAX", "0") == "1"
 # v6 whole-layer fusion (in-kernel QKV/out projections): default ON for
 # inference/primal forwards on the vmem path when the x + projected-K|V
 # residents fit the VMEM budget
@@ -91,6 +97,11 @@ def _softmax_stack_bytes(group: int, sp: int, num_heads: int) -> int:
     def padded(rows_outer, rows_inner, cols):
         return rows_outer * rows_inner * (-(-cols // lane) * lane) * 4
 
+    if LANES_SOFTMAX_DEFAULT:
+        # chain holds [SP, SP, G] f32 temporaries (G on lanes, so G itself
+        # pads to 128) plus the [G, SP, SP] score/weight layouts on either
+        # side of the transposes
+        return 3 * padded(sp, sp, group) + 3 * padded(group, sp, sp)
     if STACKED_SOFTMAX_DEFAULT:
         geff = num_heads * group       # chain runs over [H*G, SP, SP]
     elif PACKED_SOFTMAX_DEFAULT:
@@ -339,6 +350,7 @@ def _tile_attention_accumulate(
     compact: bool = True,
     packed: bool = True,
     stacked: bool = False,
+    lanes: bool = False,
     invdeg_ref=None,  # SMEM [1, 1, TN] f32 — when given, each edge's
     # accumulate is pre-scaled by its receiver's 1/degree so acc holds the
     # segment MEAN (the v6 fused-epilogue path); degree-0 receivers carry 0
@@ -434,6 +446,38 @@ def _tile_attention_accumulate(
             msg = jnp.concatenate(
                 [out[h * g : (h + 1) * g] for h in range(num_heads)], axis=2
             ).reshape(g * sp, d)
+        elif compact and lanes and softmax:
+            # EDGE-GROUPS-ON-LANES softmax: same per-head batched score
+            # dots as the compact body, but the elementwise chain runs in
+            # the TRANSPOSED [SP(si), SP(sj), G] layout — G rides the
+            # 128-lane axis at full utilization (vs SP=24 -> 18.75% when
+            # SP is minor), and the sj reduction happens on sublanes.
+            # Costs two 3-D relayouts per head per group; only worthwhile
+            # when G is a lane multiple (pick G=128 with this flag).
+            kv3 = kvbuf_ref[:].reshape(g, sp, 2 * d)
+            q3 = qbuf_ref[:].reshape(g, sp, d)
+            sj_tok = jax.lax.broadcasted_iota(jnp.int32, (sp, sp, g), 1)
+            out_heads = []
+            for h in range(num_heads):
+                qh = q3[:, :, h * dh : (h + 1) * dh] * jnp.asarray(scale, dtype)
+                kh = kv3[:, :, h * dh : (h + 1) * dh]
+                scores = jax.lax.dot_general(
+                    qh, kh, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [G, SP(si), SP(sj)]
+                st = jnp.transpose(scores, (1, 2, 0))     # [SP, SP, G]
+                t = jnp.where(sj_tok < s, st, -jnp.inf)
+                m = jnp.max(t, axis=1, keepdims=True)
+                e = jnp.exp(t - m)
+                w = e / jnp.sum(e, axis=1, keepdims=True)
+                wg = jnp.transpose(w, (2, 0, 1))          # back to [G, SP, SP]
+                vh = kv3[:, :, d + h * dh : d + (h + 1) * dh]
+                oh = jax.lax.dot_general(
+                    wg.astype(dtype), vh, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                out_heads.append(oh)
+            msg = jnp.concatenate(out_heads, axis=2).reshape(g * sp, d)
         elif compact:
             # COMPACT per-edge attention: Mosaic lowers batched (3-D)
             # dot_general, so scores/softmax stay [G, SP, SP] — LINEAR in
@@ -577,6 +621,7 @@ def _fused_kernel_vmem_v2(
     compact: bool = True,
     packed: bool = True,
     stacked: bool = False,
+    lanes: bool = False,
 ):
     """v2: per-edge attention + segment-SUM over projected q/kv inputs
     (see _tile_attention_accumulate for the tile-body contract)."""
@@ -585,6 +630,7 @@ def _fused_kernel_vmem_v2(
         q_ref, kv_ref, acc_ref, qbuf_ref, kvbuf_ref,
         s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
         softmax=softmax, compact=compact, packed=packed, stacked=stacked,
+        lanes=lanes,
     )
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
@@ -619,6 +665,7 @@ def _fused_kernel_vmem_v6(
     compact: bool = True,
     packed: bool = True,
     stacked: bool = False,
+    lanes: bool = False,
 ):
     """v6: the WHOLE layer in one kernel — QKV in-projection, per-edge
     attention, mean aggregation, and the output projection.
@@ -670,7 +717,7 @@ def _fused_kernel_vmem_v6(
         qscr_ref, kvscr_ref, acc_ref, qbuf_ref, kvbuf_ref,
         s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
         softmax=softmax, compact=compact, packed=packed, stacked=stacked,
-        invdeg_ref=invdeg_ref,
+        lanes=lanes, invdeg_ref=invdeg_ref,
     )
 
     mean = acc_ref[:].astype(x_ref.dtype)
@@ -993,7 +1040,7 @@ def _fused_edge_sums_chunked(
     )(ncounts, senders, chunk_recv, valid, q_rows, kv_rows)
 
 
-def _fused_edge_sums_v2(*args, packed=None, stacked=None, **kw):
+def _fused_edge_sums_v2(*args, packed=None, stacked=None, lanes=None, **kw):
     """Resolve the env-default body flags OUTSIDE the jit boundary: they
     are static args, and resolving a None default inside the traced
     function would let a flipped module default silently hit the stale
@@ -1002,12 +1049,15 @@ def _fused_edge_sums_v2(*args, packed=None, stacked=None, **kw):
         packed = PACKED_SOFTMAX_DEFAULT
     if stacked is None:
         stacked = STACKED_SOFTMAX_DEFAULT
-    return _fused_edge_sums_v2_impl(*args, packed=packed, stacked=stacked, **kw)
+    if lanes is None:
+        lanes = LANES_SOFTMAX_DEFAULT
+    return _fused_edge_sums_v2_impl(
+        *args, packed=packed, stacked=stacked, lanes=lanes, **kw)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret", "compact", "overlap", "packed", "stacked", "gather"),
+    static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret", "compact", "overlap", "packed", "stacked", "lanes", "gather"),
 )
 def _fused_edge_sums_v2_impl(
     q_rows: jnp.ndarray,         # [NT*SP, D]
@@ -1029,6 +1079,7 @@ def _fused_edge_sums_v2_impl(
     overlap: bool = False,
     packed: bool = False,
     stacked: bool = False,
+    lanes: bool = False,
     gather: str = "vmem",
 ):
     sp = q_rows.shape[0] // (num_tiles * tile_nodes)
@@ -1063,6 +1114,7 @@ def _fused_edge_sums_v2_impl(
             _fused_kernel_vmem_v2,
             s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
             softmax=softmax, compact=compact, packed=packed, stacked=stacked,
+            lanes=lanes,
         )
         scratch = [
             pltpu.VMEM((tn * sp, d), jnp.float32),
@@ -1091,20 +1143,23 @@ def _fused_edge_sums_v2_impl(
     )(ngroups, tile_senders, tile_recv, tile_valid, q_rows, kv_rows)
 
 
-def _fused_attention_out_v6(*args, packed=None, stacked=None, **kw):
+def _fused_attention_out_v6(*args, packed=None, stacked=None, lanes=None, **kw):
     """Env-default body flags resolved outside jit (see _fused_edge_sums_v2)."""
     if packed is None:
         packed = PACKED_SOFTMAX_DEFAULT
     if stacked is None:
         stacked = STACKED_SOFTMAX_DEFAULT
-    return _fused_attention_out_v6_impl(*args, packed=packed, stacked=stacked, **kw)
+    if lanes is None:
+        lanes = LANES_SOFTMAX_DEFAULT
+    return _fused_attention_out_v6_impl(
+        *args, packed=packed, stacked=stacked, lanes=lanes, **kw)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "softmax", "tile_nodes", "group",
                      "num_tiles", "emax", "s", "interpret", "compact",
-                     "packed", "stacked"),
+                     "packed", "stacked", "lanes"),
 )
 def _fused_attention_out_v6_impl(
     x_rows: jnp.ndarray,         # [NT*SP, D] raw token rows (pre-projection)
@@ -1129,6 +1184,7 @@ def _fused_attention_out_v6_impl(
     compact: bool = True,
     packed: bool = False,
     stacked: bool = False,
+    lanes: bool = False,
 ):
     """Whole-layer fused op (v6 kernel): raw rows in, layer output rows out."""
     sp = x_rows.shape[0] // (num_tiles * tile_nodes)
@@ -1141,7 +1197,7 @@ def _fused_attention_out_v6_impl(
         _fused_kernel_vmem_v6,
         s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
         softmax=softmax, tile_nodes=tn, compact=compact, packed=packed,
-        stacked=stacked,
+        stacked=stacked, lanes=lanes,
     )
     scratch = [
         pltpu.VMEM((num_tiles * tn * sp, 2 * d), x_rows.dtype),  # kvscr

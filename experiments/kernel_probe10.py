@@ -1,114 +1,105 @@
-"""Probe 10: production-scale DMA-gather forward — v1 block-diag vs
-dma-compact (the v4 overlap body reading K|V from ANY/HBM).
+"""Probe 10: edge-groups-on-LANES softmax (VERDICT r2 #2 — the last
+untried attack on the binding VPU constraint).
 
-The 'dma' gather mode (the only single-chip option beyond ~100k token
-rows) ran the round-1 block-diagonal kernel until now: g=8 fixed,
-[G*SP, G*SP] scores with 1/G useful work, and sequential per-group DMA
-issue with only 2-deep double buffering. The compact route reuses the
-v4 body (batched [G,SP,dh]x[G,dh,SP] dots, dynamic trip counts,
-double-buffered async K|V+Q copies) with the K|V source in ANY — at
-Cora scale the same body rework bought 1.6x (RESULTS.md v3 table).
+Every previous layout keeps SP on the 128-lane axis, so at SP=24 the
+softmax chain runs at 18.75% lane utilization (RESULTS.md roofline: the
+chain is ~47% of kernel time). The lanes body transposes each head's
+scores to [SP, SP, G] so G rides the lane axis — full utilization at
+G>=128 — at the cost of two 3-D relayouts per head per group.
 
-Interleaved pairwise reps (A,B,A,B,...) cancel relay/tenancy drift.
-Kernel-level timing (projections excluded) at two scales:
-  - 200k edges / N=50k  (the RESULTS production-scale row)
-  - 1M edges  / N=100k  (the train-step scale)
+Contest, interleaved pairwise at Cora scale (kernel_probe8d protocol —
+sequential A/Bs drift up to ~30% through the relay):
+  base       v6 per-head g=32 (current default, on merit from r2)
+  lanes_g128 v6 lanes body, G=128 (its natural size)
+  lanes_g64  half-lane variant (isolates the relayout cost)
+  ctrl_g128  per-head at g=128 (separates group-size from layout effects)
+
+Each variant is parity-checked on-chip against the XLA reference before
+timing.
 """
-from __future__ import annotations
-
-import json
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
-from bench import time_fn  # noqa: E402  (enables compile cache)
-
-import jax.numpy as jnp  # noqa: E402
-
-from ampnet_tpu.ops.pallas.format import build_tiled_csr  # noqa: E402
-from ampnet_tpu.ops.pallas import edge_attention_fused as eaf  # noqa: E402
-
-T0 = time.time()
-
-
-def log(msg):
-    print(f"[{time.time()-T0:7.1f}s] {msg}", flush=True)
-
-
-def build(e, n, sp=24, d=128, tile_nodes=64, seed=0):
-    rng = np.random.default_rng(seed)
-    senders = rng.integers(0, n, e)
-    receivers = rng.integers(0, n, e)
-    tcsr = build_tiled_csr(senders, receivers, np.ones(e, bool),
-                           -(-n // tile_nodes) * tile_nodes,
-                           tile_nodes=tile_nodes, group=8)
-    nt = tcsr.num_tiles * tcsr.tile_nodes
-    q_rows = jnp.asarray(rng.normal(size=(nt * sp, d)), jnp.float32)
-    kv_rows = jnp.asarray(rng.normal(size=(nt * sp, 2 * d)), jnp.float32)
-    return tcsr, q_rows, kv_rows
+import bench  # noqa: E402
 
 
 def main():
-    scales = [("200k", 200_000, 50_000), ("1M", 1_000_000, 100_000)]
-    out = {}
-    for tag, e, n in scales:
-        tcsr, q_rows, kv_rows = build(e, n)
-        ts = jnp.asarray(tcsr.senders)[:, None, :]
-        tr = jnp.asarray(tcsr.recv_local)[:, None, :]
-        tv = jnp.asarray(tcsr.valid)[:, None, :]
-        tc = jnp.asarray(tcsr.counts)
-        emax = tcsr.edges_per_tile
-        log(f"[{tag}] built: tiles={tcsr.num_tiles} emax={emax} "
-            f"padded={tcsr.num_tiles*emax} ({tcsr.num_tiles*emax/e:.2f}x)")
+    import jax
 
-        g_compact = eaf._auto_group(24, emax, "dma")
-        configs = {
-            "v1 g=8": lambda q: eaf._fused_edge_sums(
-                q, kv_rows, ts, tr, tv, num_heads=4, softmax=True,
-                tile_nodes=64, group=8 if emax % 8 == 0 else 1,
-                num_tiles=tcsr.num_tiles, emax=emax, s=20, gather="dma"),
-            f"compact g={g_compact}": lambda q: eaf._fused_edge_sums_v2(
-                q, kv_rows, ts, tr, tv, tc, num_heads=4, softmax=True,
-                tile_nodes=64, group=g_compact,
-                num_tiles=tcsr.num_tiles, emax=emax, s=20, gather="dma"),
-        }
-        # parity first (also compiles both)
-        ref = None
-        for name, fn in configs.items():
-            r = np.asarray(fn(q_rows))
-            if ref is None:
-                ref = r
-            else:
-                err = float(np.max(np.abs(r - ref)))
-                log(f"[{tag}] parity {name} vs v1: max abs err {err:.3e}")
-            log(f"[{tag}] compiled {name}")
+    import ampnet_tpu.ops.pallas.edge_attention_fused as eaf
+    from ampnet_tpu.ops.edge_attention import MHAParams, amp_edge_attention
 
-        reps = {name: [] for name in configs}
-        for rep in range(4):
-            for name, fn in configs.items():
-                t = time_fn(fn, q_rows, k1=1, k2=6)
-                reps[name].append(t * 1e3)
-            log(f"[{tag}] rep {rep}: " + " | ".join(
-                f"{name} {reps[name][-1]:.1f}ms ({e/reps[name][-1]/1e3:.2f}M e/s)"
-                for name in configs))
+    e, h = 10556, 4
+    x, senders, receivers, params = bench.build_inputs(e=e)
+    p = MHAParams(params["w_qkv"], params["b_qkv"], params["w_out"], params["b_out"])
+    n = x.shape[0]
 
-        names = list(configs)
-        base = np.array(reps[names[0]])
-        res = {}
-        for name in names:
-            arr = np.array(reps[name])
-            res[name] = {
-                "median_ms": round(float(np.median(arr)), 2),
-                "median_Medges_s": round(float(e / np.median(arr) / 1e3), 3),
-                "ratio_vs_v1_per_rep": [round(float(r), 3) for r in arr / base],
-            }
-            log(f"[{tag}] {name}: median {np.median(arr):.1f} ms "
-                f"= {e/np.median(arr)/1e3:.2f} M edges/s")
-        out[tag] = res
-    print(json.dumps(out))
+    ref, _ = amp_edge_attention(
+        x, senders, receivers, None, p, h, softmax=True, return_weights=False
+    )
+    ref = np.asarray(jax.block_until_ready(ref))
+
+    def build(lanes: bool, group: int):
+        # the lanes flag is resolved at TRACE time of each closure's first
+        # dispatch — set it, build, dispatch once (parity check), restore
+        eaf.LANES_SOFTMAX_DEFAULT = lanes
+        fused = eaf.make_pallas_edge_attention(
+            np.asarray(senders), np.asarray(receivers), np.ones(e, bool),
+            n, h, group=group,
+        )
+        fn = lambda xx: fused(xx, p)
+        out = np.asarray(jax.block_until_ready(fn(x)))
+        err = float(np.max(np.abs(out - ref)))
+        eaf.LANES_SOFTMAX_DEFAULT = False
+        return fn, err
+
+    variants = [
+        ("base_g32", False, 32),
+        ("lanes_g128", True, 128),
+        ("lanes_g64", True, 64),
+        ("ctrl_g128", False, 128),
+    ]
+    fns = {}
+    for name, lanes, grp in variants:
+        try:
+            fn, err = build(lanes, grp)
+            print(f"{name}: built, max|err| vs XLA = {err:.2e}", flush=True)
+            if err > 5e-4:
+                print(f"{name}: PARITY FAIL — excluded from timing", flush=True)
+                continue
+            fns[name] = fn
+        except Exception as ex:
+            print(f"{name}: BUILD/COMPILE FAIL — {type(ex).__name__}: "
+                  f"{str(ex)[:400]}", flush=True)
+
+    base = "base_g32"
+    if base not in fns:
+        print("baseline unavailable; aborting")
+        return 1
+    reps = 6
+    for name in [v[0] for v in variants[1:] if v[0] in fns]:
+        # re-pin the flag per timing dispatch: time_fn's outer jit traces
+        # the closure fresh per (fn, k) identity
+        ratios = []
+        for r in range(reps):
+            order = (base, name) if r % 2 == 0 else (name, base)
+            ts = {}
+            for v in order:
+                eaf.LANES_SOFTMAX_DEFAULT = v.startswith("lanes")
+                ts[v] = bench.time_fn(fns[v], x)
+            eaf.LANES_SOFTMAX_DEFAULT = False
+            ratios.append(ts[name] / ts[base])
+            print(f"rep {r}: {base} {ts[base]*1e3:7.2f} ms  "
+                  f"{name} {ts[name]*1e3:7.2f} ms  ratio {ratios[-1]:.3f}",
+                  flush=True)
+        med = sorted(ratios)[len(ratios) // 2]
+        verdict = "FASTER" if med < 1.0 else "slower"
+        print(f"== {name}: median ratio {med:.3f} ({verdict} than {base})",
+              flush=True)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -111,6 +111,29 @@ def test_stacked_body_parity_interpret(rng, softmax, monkeypatch):
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
+def test_lanes_body_parity_interpret(rng, monkeypatch):
+    """Edge-groups-on-LANES softmax body (scores transposed to [SP, SP, G]
+    so the elementwise chain runs at full lane width;
+    AMPNET_LANES_SOFTMAX) matches the XLA reference. Also exercised
+    through the v6 whole-layer route (FUSE_PROJ on CPU interpret)."""
+    from ampnet_tpu.ops.pallas import edge_attention_fused as eaf
+
+    monkeypatch.setattr(eaf, "LANES_SOFTMAX_DEFAULT", True)
+    x, senders, receivers, mask = build_case(rng)
+    params = make_params(rng)
+    tcsr = build_tiled_csr(senders, receivers, mask, 16, tile_nodes=8, group=4)
+
+    fused = amp_edge_attention_pallas_core(
+        x, params, tcsr, jnp.asarray(receivers), jnp.asarray(mask),
+        H, softmax=True, gather="vmem", interpret=True,
+    )
+    ref, _ = amp_edge_attention(
+        x, jnp.asarray(senders), jnp.asarray(receivers), jnp.asarray(mask),
+        params, H, softmax=True, return_weights=False,
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
 def test_chunked_kernel_parity_interpret(rng):
     """v5 receiver-chunked kernel == v2 edge-group kernel (interpret).
 
