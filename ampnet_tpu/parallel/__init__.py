@@ -10,6 +10,11 @@ from ampnet_tpu.parallel.data_parallel import (
     shard_batch,
     make_dp_train_step,
 )
+from ampnet_tpu.parallel.head_parallel import (
+    shard_mha_params,
+    head_sharded_amp_edge_attention,
+    head_sharded_apply,
+)
 from ampnet_tpu.parallel.edge_partition import (
     PartitionedGraph,
     ShardLayout,
@@ -38,4 +43,7 @@ __all__ = [
     "partition_graph",
     "amp_gcn_forward_local",
     "make_partitioned_train_step",
+    "shard_mha_params",
+    "head_sharded_amp_edge_attention",
+    "head_sharded_apply",
 ]

@@ -36,13 +36,24 @@ def initialize_distributed(
 def make_mesh(
     data: int = 1,
     graph: int = 1,
+    heads: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ('data', 'graph') mesh over the available devices."""
+    """Build a ('data', 'graph'[, 'heads']) mesh over the available devices.
+
+    'heads' carries tensor parallelism over attention heads
+    (parallel/head_parallel.py); it is only materialized as a mesh axis
+    when heads > 1 so existing 2-axis users are unchanged.
+    """
     devices = list(devices if devices is not None else jax.devices())
-    need = data * graph
+    need = data * graph * heads
     if need > len(devices):
-        raise ValueError(f"mesh {data}x{graph} needs {need} devices, have {len(devices)}")
+        raise ValueError(
+            f"mesh {data}x{graph}x{heads} needs {need} devices, have {len(devices)}"
+        )
+    if heads > 1:
+        dev_array = np.array(devices[:need]).reshape(data, graph, heads)
+        return Mesh(dev_array, axis_names=("data", "graph", "heads"))
     dev_array = np.array(devices[:need]).reshape(data, graph)
     return Mesh(dev_array, axis_names=("data", "graph"))
 

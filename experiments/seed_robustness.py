@@ -27,6 +27,7 @@ from ampnet_tpu.train.loop import train_full_batch  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
     ap.add_argument("--raw-residual", type=str, default="",
                 help="'' (off) | mlp | gcn | gcn2")
@@ -52,7 +53,7 @@ def main():
         t0 = time.time()
         model = AMPGCN(cfg, scaler_stats=scaler_stats)
         tcfg = TrainConfig(
-            learning_rate=3e-3, weight_decay=args.weight_decay,
+            learning_rate=args.lr, weight_decay=args.weight_decay,
             epochs=args.epochs, cosine_t0=None, grad_clip=1.0,
             select_best_every=10, num_eval_samples=8, checkpoint_every=0,
             seed=seed,

@@ -30,5 +30,12 @@ def test_bench_json_contract(monkeypatch, capsys):
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
     obj = json.loads(line)
-    assert set(obj) == {"metric", "value", "unit", "vs_baseline"}
+    # required driver contract keys, plus the self-qualifying dispersion
+    # fields (VERDICT r2 #4: reps/median/spread so the captured artifact
+    # explains its own session drift)
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(obj)
     assert obj["value"] > 0
+    for arm in ("optimized", "naive"):
+        disp = obj[arm]
+        assert {"reps_ms", "median_ms", "spread_pct"} <= set(disp)
+        assert disp["median_ms"] > 0 and len(disp["reps_ms"]) >= 1
