@@ -174,6 +174,10 @@ class TrainConfig:
     # L2 weight decay dominates and the model collapses, diagnosed r2);
     # 'mean' = weight-normalized O(1)-scale variant (stabilized recipe).
     saint_loss: str = "sum"
+    # >0: capture a jax.profiler trace of this many optimizer steps
+    # (skipping the compile step) into <run_dir>/profile — viewable in
+    # TensorBoard/Perfetto. The reference has no profiler (SURVEY §5.1).
+    profile_steps: int = 0
 
 
 def replace(cfg, **kw):

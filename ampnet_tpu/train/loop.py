@@ -59,6 +59,17 @@ def _lr_at(cfg: TrainConfig, step: int) -> float:
     return cfg.learning_rate
 
 
+def _tracer(cfg: TrainConfig, log: Logfile):
+    """cfg.profile_steps > 0: bounded jax.profiler capture under run_dir."""
+    if not (cfg.profile_steps and cfg.run_dir):
+        return None
+    from ampnet_tpu.train.profiling import StepTraceCapture
+
+    pdir = os.path.join(cfg.run_dir, "profile")
+    log.log(f"profiling {cfg.profile_steps} steps (post-compile) -> {pdir}")
+    return StepTraceCapture(pdir, cfg.profile_steps)
+
+
 def _use_pallas(model: nn.Module) -> bool:
     return bool(getattr(getattr(model, "config", None), "use_pallas", False))
 
@@ -114,9 +125,14 @@ def train_full_batch(
         best_val, best_params = restore_best(cfg.run_dir, state.params)
         if best_params is not None:
             log.log(f"restored banked best (val acc {best_val:.4f})")
+    tracer = _tracer(cfg, log)
     t0 = time.time()
     for epoch in range(start_epoch, cfg.epochs):
+        if tracer:
+            tracer.before_step()
         state, metrics = train_step(state, graph, layout)
+        if tracer:
+            tracer.after_step(block_on=metrics)
         row = {k: float(v) for k, v in metrics.items()}
         row["epoch"] = epoch
         history.append(row)
@@ -145,6 +161,8 @@ def train_full_batch(
                 os.path.join(cfg.run_dir, f"checkpoint_ep{epoch}.pkl"),
                 state, epoch, row["loss"],
             )
+    if tracer:
+        tracer.close()
     final_params = best_params if best_params is not None else state.params
     if best_params is not None:
         log.log(f"model selection: best val acc {best_val:.4f}")
@@ -225,11 +243,16 @@ def train_saint(
         best_val, best_params = restore_best(cfg.run_dir, state.params)
         if best_params is not None:
             log.log(f"restored banked best (val acc {best_val:.4f})")
+    tracer = _tracer(cfg, log)
     t0 = time.time()
     for epoch in range(start_epoch, cfg.epochs):
         it = sampler.prefetch() if prefetch else iter(sampler)
         for i, sub in enumerate(it):
+            if tracer:
+                tracer.before_step()
             state, metrics = train_step(state, sub, sub_layout(sub))
+            if tracer:
+                tracer.after_step(block_on=metrics)
             last = i == len(sampler) - 1
             if last or (cfg.log_every_steps and i % cfg.log_every_steps == 0):
                 # reference per-iteration format: epoch, partition, LR,
@@ -266,6 +289,8 @@ def train_saint(
                 os.path.join(cfg.run_dir, f"checkpoint_ep{epoch}.pkl"),
                 state, epoch, history[-1]["loss"] if history else None,
             )
+    if tracer:
+        tracer.close()
     final_params = best_params if best_params is not None else state.params
     if best_params is not None:
         log.log(f"model selection: best val acc {best_val:.4f}")

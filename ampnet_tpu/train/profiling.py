@@ -25,6 +25,43 @@ def trace(log_dir: str = "/tmp/ampnet_trace", enabled: bool = True):
         jax.profiler.stop_trace()
 
 
+class StepTraceCapture:
+    """Bounded jax.profiler capture inside a training loop.
+
+    Traces optimizer steps [skip, skip + num_steps) — skipping step 0 so
+    the compile isn't in the trace — and writes a TensorBoard/Perfetto
+    trace to log_dir. Wired to TrainConfig.profile_steps (the reference
+    has no profiler at all, SURVEY §5.1).
+    """
+
+    def __init__(self, log_dir: str, num_steps: int, skip: int = 1):
+        self.log_dir = log_dir
+        self.start_at = skip
+        self.stop_at = skip + num_steps
+        self._seen = 0
+        self._active = False
+
+    def before_step(self):
+        if self._seen == self.start_at and not self._active:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+
+    def after_step(self, block_on=None):
+        self._seen += 1
+        if self._active:
+            if block_on is not None:
+                # sync so the traced window holds whole device steps
+                jax.block_until_ready(block_on)
+            if self._seen >= self.stop_at:
+                jax.profiler.stop_trace()
+                self._active = False
+
+    def close(self):
+        if self._active:  # loop ended before stop_at steps ran
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 class StepTimer:
     """Per-step wall-clock stats (mean/p50/p99) for loop instrumentation."""
 

@@ -11,7 +11,8 @@ from ampnet_tpu.models import AMPGCN
 from ampnet_tpu.train import Logfile, create_run_dir, train_full_batch
 
 
-def main(epochs=150, run_base="runs", tuned=False, raw_residual=False):
+def main(epochs=150, run_base="runs", tuned=False, raw_residual=False,
+         profile_steps=0):
     d, g = cora_graph()
     if tuned or raw_residual:
         # framework recipe: tfidf S=40, dataset-level scaler stats,
@@ -42,6 +43,7 @@ def main(epochs=150, run_base="runs", tuned=False, raw_residual=False):
         grad_clip=1.0 if (tuned or raw_residual) else None,
         select_best_every=10 if (tuned or raw_residual) else 0,
         num_eval_samples=8 if (tuned or raw_residual) else 1,
+        profile_steps=profile_steps,
     )
     log = Logfile(f"{run_dir}/_details.txt")
     result = train_full_batch(model, g, tcfg, log=log)
@@ -57,5 +59,9 @@ if __name__ == "__main__":
                         "+ best-val selection + ensemble eval")
     p.add_argument("--raw-residual", action="store_true",
                    help="--tuned plus the hybrid gcn2 raw-residual head")
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="capture a jax.profiler trace of N post-compile "
+                        "epochs into <run_dir>/profile")
     a = p.parse_args()
-    main(a.epochs, tuned=a.tuned, raw_residual=a.raw_residual)
+    main(a.epochs, tuned=a.tuned, raw_residual=a.raw_residual,
+         profile_steps=a.profile)

@@ -20,7 +20,8 @@ TRAIN_AMPCONV = True  # reference switch at :27
 
 
 def main(epochs=50, steps_per_epoch=200, train_ampconv=TRAIN_AMPCONV, run_base="runs",
-         fused=False, stabilized=False, decay_lr=False, raw_residual=False):
+         fused=False, stabilized=False, decay_lr=False, raw_residual=False,
+         profile_steps=0):
     np.random.seed(1)  # reference seeds :20-23
     d, full_g = cora_graph()
     sampler = GraphSaintRandomWalkSampler(
@@ -81,6 +82,10 @@ def main(epochs=50, steps_per_epoch=200, train_ampconv=TRAIN_AMPCONV, run_base="
             learning_rate=0.1, weight_decay=1e-4, epochs=epochs,
             cosine_t0=400, cosine_t_mult=2, checkpoint_every=10, run_dir=run_dir,
         )
+    if profile_steps:
+        import dataclasses
+
+        tcfg = dataclasses.replace(tcfg, profile_steps=profile_steps)
     log = Logfile(f"{run_dir}/_details.txt")
     result = train_saint(model, sampler, full_g, tcfg, log=log)
     plot_history(result["history"], run_dir)
@@ -104,7 +109,10 @@ if __name__ == "__main__":
     p.add_argument("--decay-lr", action="store_true",
                    help="with --stabilized: single-cycle cosine LR decay "
                         "over the full run")
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="capture a jax.profiler trace of N post-compile "
+                        "steps into <run_dir>/profile")
     a = p.parse_args()
     main(a.epochs, a.steps, train_ampconv=not a.gcn, fused=a.fused,
          stabilized=a.stabilized, decay_lr=a.decay_lr,
-         raw_residual=a.raw_residual)
+         raw_residual=a.raw_residual, profile_steps=a.profile)

@@ -187,3 +187,24 @@ def test_xor_hybrid_raw_residual_trains():
     result = train_full_batch(model, train_g, tcfg)
     accs = [h["train_acc"] for h in result["history"][-10:]]
     assert max(accs) > 0.85, f"hybrid XOR did not converge: {accs}"
+
+
+def test_profile_steps_writes_trace(tmp_path):
+    """TrainConfig.profile_steps captures a bounded jax.profiler trace
+    under <run_dir>/profile (SURVEY §5.1: the reference has none)."""
+    train_g, _ = get_xor_graphs(num_train_samples=16, num_test_samples=8, seed=0)
+    cfg = AMPGCNConfig(
+        embedding_dim=16, num_heads=2, num_node_features=2,
+        num_sampled_vectors=2, output_dim=2, feat_emb_dim=15, val_emb_dim=1,
+        dropout_rate=0.0, dropout_adj_rate=0.0,
+    )
+    model = AMPGCN(config=cfg)
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir)
+    tcfg = TrainConfig(learning_rate=1e-3, weight_decay=0.0, epochs=4,
+                       cosine_t0=None, log_every=10, checkpoint_every=0,
+                       run_dir=run_dir, profile_steps=2)
+    train_full_batch(model, train_g, tcfg)
+    pdir = os.path.join(run_dir, "profile")
+    traces = [os.path.join(r, f) for r, _, fs in os.walk(pdir) for f in fs]
+    assert traces, "no profiler trace written"
