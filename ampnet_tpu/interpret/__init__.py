@@ -11,6 +11,7 @@ from ampnet_tpu.interpret.histograms import (
     activation_stages_from_aux,
 )
 from ampnet_tpu.interpret.attention import (
+    incoming_edge_attention,
     top_k_features_for_class,
     calculate_attn_heatmap,
     plot_attn_heatmap,
@@ -37,6 +38,7 @@ __all__ = [
     "calculate_attn_heatmap",
     "plot_attn_heatmap",
     "visualize_attention_coefficients",
+    "incoming_edge_attention",
     "plot_xor_attn_weights",
     "plot_pca_2d",
     "plot_umap_2d",

@@ -19,6 +19,39 @@ import matplotlib.pyplot as plt
 import numpy as np
 
 
+def incoming_edge_attention(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    attn_weights: np.ndarray,    # [E, S, S] head-averaged
+    node: int,
+    y: Optional[np.ndarray] = None,
+    edge_mask: Optional[np.ndarray] = None,
+) -> Dict[str, np.ndarray]:
+    """Per-node incoming-edge attention view.
+
+    The working version of the reference's scratch inspection
+    (synthetic_benchmark/script.py:4-12: edge ids with dst==node, their
+    source nodes/labels, and the [k, S, S] attention slices), as a real
+    API over the functional aux outputs.
+
+    Returns {'edge_ids', 'neighbors', 'attention'[, 'neighbor_labels']}.
+    """
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    valid = receivers == node
+    if edge_mask is not None:
+        valid &= np.asarray(edge_mask)
+    edge_ids = np.where(valid)[0]
+    out = {
+        "edge_ids": edge_ids,
+        "neighbors": senders[edge_ids],
+        "attention": np.asarray(attn_weights)[edge_ids],
+    }
+    if y is not None:
+        out["neighbor_labels"] = np.asarray(y)[senders[edge_ids]]
+    return out
+
+
 def top_k_features_for_class(
     x: np.ndarray, y: np.ndarray, cls: int, k: int = 30
 ) -> np.ndarray:

@@ -140,9 +140,15 @@ def _build_shims():
 
     umap_mod = types.ModuleType("umap")
 
-    class _UMAPUnavailable:  # pragma: no cover
+    class _UMAPUnavailable:
         def __init__(self, *a, **k):
-            raise RuntimeError("umap-learn is not installed in this env")
+            # ImportError (not RuntimeError) so callers with an
+            # import-guarded fallback (interpret.embedding.plot_umap_2d)
+            # treat the fake module exactly like an absent one — the fake
+            # exists only so the reference's module-level `import umap`
+            # succeeds, and it leaks process-wide via sys.modules once
+            # pytest collects the parity tests.
+            raise ImportError("umap-learn is not installed (pyg_shim fake)")
 
     umap_mod.UMAP = _UMAPUnavailable
 

@@ -74,3 +74,20 @@ def test_umap_plot_fallback(tmp_path, rng):
     labels = np.array([0] * 20 + [1] * 20)
     out = plot_umap_2d(x, labels, str(tmp_path))
     assert out is not None and os.path.exists(out)
+
+
+def test_incoming_edge_attention(rng):
+    """Working version of the reference's scratch inspection
+    (synthetic_benchmark/script.py:4-12)."""
+    from ampnet_tpu.interpret.attention import incoming_edge_attention
+
+    senders = np.array([0, 1, 2, 3, 1])
+    receivers = np.array([1, 0, 0, 2, 0])
+    w = rng.normal(size=(5, 3, 3))
+    y = np.array([0, 1, 1, 0])
+    mask = np.array([True, True, True, True, False])
+    out = incoming_edge_attention(senders, receivers, w, node=0, y=y, edge_mask=mask)
+    np.testing.assert_array_equal(out["edge_ids"], [1, 2])
+    np.testing.assert_array_equal(out["neighbors"], [1, 2])
+    np.testing.assert_array_equal(out["neighbor_labels"], [1, 1])
+    np.testing.assert_allclose(out["attention"], w[[1, 2]])
