@@ -22,6 +22,23 @@ from ampnet_tpu.parallel import make_dp_train_step, make_mesh, shard_batch, stac
 from ampnet_tpu.train import create_train_state, make_eval_step, make_optimizer
 
 
+def force_cpu_mesh(n_devices: int):
+    """Run on an n-device virtual CPU mesh (this env's sitecustomize pins
+    the TPU plugin, so the env var alone is not honored — same workaround
+    as __graft_entry__.dryrun_multichip)."""
+    import os
+    import re
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    opt = f"--xla_force_host_platform_device_count={n_devices}"
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " " + opt).strip()
+    else:
+        os.environ["XLA_FLAGS"] = re.sub(
+            r"--xla_force_host_platform_device_count=\d+", opt, flags)
+    jax.config.update("jax_platforms", "cpu")
+
+
 def main(epochs=30, steps=10, n_shards=None, tiny=False):
     start_time = time.time()
     d, full_g = cora_graph()
@@ -77,7 +94,13 @@ if __name__ == "__main__":
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--shards", type=int, default=None)
     p.add_argument("--tiny", action="store_true",
-                   help="smoke-scale config (CPU-mesh compile is slow at "
-                        "full scale)")
+                   help="smoke-scale config (~1 min end-to-end)")
+    p.add_argument("--cpu", type=int, default=0, metavar="N",
+                   help="run on an N-device virtual CPU mesh (full "
+                        "Cora-scale compiles in ~3 s there via the XLA "
+                        "conv path — measured r3, compile_probe.py "
+                        "--partitioned)")
     a = p.parse_args()
+    if a.cpu:
+        force_cpu_mesh(a.cpu)
     main(a.epochs, a.steps, a.shards, tiny=a.tiny)
