@@ -158,9 +158,13 @@ def main():
 
         if pallas_available():
             n = x.shape[0]
+            # tile_nodes=256: fewer partial edge groups per tile — probe11
+            # (r3) measured 0.955x vs the tn=64 default at Cora scale with
+            # exact parity; the library default stays 64 pending a
+            # backward-path A/B (training reuses layouts across kernels).
             fused = make_pallas_edge_attention(
                 np.asarray(senders), np.asarray(receivers),
-                np.ones(e, bool), n, h,
+                np.ones(e, bool), n, h, tile_nodes=256,
             )
             p = MHAParams(params["w_qkv"], params["b_qkv"], params["w_out"], params["b_out"])
             print("bench: timing fused Pallas path...", file=sys.stderr)

@@ -25,16 +25,22 @@ sys.path.insert(0, ".")
 import bench  # noqa: E402
 
 
-def degree_balanced_perm(receivers, edge_mask, n_pad, tile_nodes):
-    """node id -> new id: sort by in-degree desc, round-robin over tiles."""
+def degree_balanced_perm(receivers, edge_mask, n, tile_nodes):
+    """node id -> new id: sort by in-degree desc, round-robin over tiles.
+
+    New ids live in [0, t*tile_nodes) — tiles own fixed id ranges, so when
+    n % tile_nodes != 0 the relabeled graph needs x padded to t*tile_nodes
+    rows. Returns (perm [n], n_pad_bal)."""
     r = np.asarray(receivers)[np.asarray(edge_mask).astype(bool)]
-    deg = np.bincount(r, minlength=n_pad)
+    deg = np.bincount(r, minlength=n)
     order = np.argsort(-deg, kind="stable")
-    t = -(-n_pad // tile_nodes)
-    newid = (np.arange(n_pad) % t) * tile_nodes + (np.arange(n_pad) // t)
-    perm = np.empty(n_pad, np.int64)
+    t = -(-n // tile_nodes)
+    # rank i of the degree-sorted order -> tile i%t, row i//t within it
+    newid = (np.arange(n) % t) * tile_nodes + (np.arange(n) // t)
+    assert newid.max() < t * tile_nodes
+    perm = np.empty(n, np.int64)
     perm[order] = newid
-    return perm
+    return perm, t * tile_nodes
 
 
 def main():
@@ -52,19 +58,20 @@ def main():
 
     eaf.FUSE_PROJ_DEFAULT = True
 
-    def build(s_, r_, tn):
-        fused = eaf.make_pallas_edge_attention(s_, r_, em, n, h, tile_nodes=tn)
+    def build(s_, r_, tn, n_pad=None):
+        fused = eaf.make_pallas_edge_attention(
+            s_, r_, em, n_pad or n, h, tile_nodes=tn)
         return lambda xx: fused(xx, p)
 
     variants = {"tn64": (build(sen, rec, 64), None)}
     variants["tn128"] = (build(sen, rec, 128), None)
     variants["tn256"] = (build(sen, rec, 256), None)
-    perm = degree_balanced_perm(rec, em, n, 64)
-    inv = np.argsort(perm)
-    xp = np.asarray(x)[inv]  # x_perm[perm[i]] = x[i]
+    perm, n_bal = degree_balanced_perm(rec, em, n, 64)
+    xp = np.zeros((n_bal,) + np.asarray(x).shape[1:], np.asarray(x).dtype)
+    xp[perm] = np.asarray(x)  # x_perm[perm[i]] = x[i]; pad rows zero
     variants["degbal64"] = (build(perm[sen].astype(sen.dtype),
-                                  perm[rec].astype(rec.dtype), 64),
-                            (np.asarray(jax.numpy.asarray(xp)), perm))
+                                  perm[rec].astype(rec.dtype), 64, n_pad=n_bal),
+                            (xp, perm))
 
     # parity: every variant must reproduce the default's output
     base_out = np.asarray(jax.jit(variants["tn64"][0])(x))
