@@ -21,6 +21,7 @@ from ampnet_tpu.ops.edge_attention import (
     edge_attention_weights,
 )
 from ampnet_tpu.ops.gcn import gcn_aggregate
+from ampnet_tpu.ops.pallas.format import DEFAULT_TILE_NODES
 
 
 class AMPConv(nn.Module):
@@ -108,7 +109,7 @@ class AMPConv(nn.Module):
                     xx, pp, senders, receivers, edge_mask,
                     layout.tile_senders, layout.tile_recv, tile_valid,
                     num_heads=self.num_heads, softmax=self.softmax,
-                    tile_nodes=getattr(layout, "tile_nodes", 64),
+                    tile_nodes=getattr(layout, "tile_nodes", DEFAULT_TILE_NODES),
                     interpret=pallas_interpret, tile_counts=tile_counts,
                 )
 

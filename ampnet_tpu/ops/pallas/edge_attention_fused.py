@@ -52,7 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ampnet_tpu.ops.edge_attention import MHAParams, amp_edge_attention
-from ampnet_tpu.ops.pallas.format import TiledCSR, build_tiled_csr
+from ampnet_tpu.ops.pallas.format import TiledCSR, build_tiled_csr, DEFAULT_TILE_NODES
 from ampnet_tpu.ops.segment import segment_count
 
 # Packed-heads softmax (one elementwise chain over [G,SP,H*SP]) vs
@@ -1401,7 +1401,7 @@ def amp_edge_attention_pallas(
     tile_valid: jnp.ndarray,        # [T, EMAX]
     num_heads: int,
     softmax: bool = True,
-    tile_nodes: int = 64,
+    tile_nodes: int = DEFAULT_TILE_NODES,
     gather: str = "auto",
     fused_bwd: bool = True,
     interpret: bool = False,
@@ -1814,7 +1814,7 @@ def fused_attention_aggregate(
     tile_valid: jnp.ndarray,      # [T, EMAX]
     num_heads: int,
     softmax: bool = True,
-    tile_nodes: int = 64,
+    tile_nodes: int = DEFAULT_TILE_NODES,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused per-edge attention + per-receiver SUM on projected tensors.
@@ -1905,7 +1905,7 @@ def make_pallas_edge_attention(
     num_nodes_padded: int,
     num_heads: int,
     softmax: bool = True,
-    tile_nodes: int = 64,
+    tile_nodes: int = DEFAULT_TILE_NODES,
     group: int = 0,   # 0 = auto (v2: largest G with G*SP <= 128)
     gather: str = "auto",
     interpret: bool = False,

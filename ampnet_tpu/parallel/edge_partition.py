@@ -35,6 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ampnet_tpu.core.config import AMPGCNConfig
 from ampnet_tpu.core.graph import Graph
 from ampnet_tpu.ops.edge_attention import MHAParams, attention_core
+from ampnet_tpu.ops.pallas.format import DEFAULT_TILE_NODES
 from ampnet_tpu.ops.segment import segment_count, segment_sum
 from ampnet_tpu.ops.tokenize import gather_tokens, sample_present_features
 
@@ -391,7 +392,7 @@ def make_partitioned_train_step(
     learning_rate_tx,
     loss_mode: str = "full",
     use_pallas: bool = False,
-    tile_nodes: int = 64,
+    tile_nodes: int = DEFAULT_TILE_NODES,
     interpret: bool = False,
     scaler_stats=None,   # (mean, std) for cfg.scaler='precomputed'
 ):
@@ -440,7 +441,7 @@ def make_dp_partitioned_train_step(
     learning_rate_tx,
     loss_mode: str = "saint",
     use_pallas: bool = False,
-    tile_nodes: int = 64,
+    tile_nodes: int = DEFAULT_TILE_NODES,
     interpret: bool = False,
     scaler_stats=None,   # (mean, std) for cfg.scaler='precomputed'
 ):

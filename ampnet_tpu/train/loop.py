@@ -81,9 +81,10 @@ def _layout_for(graph: Graph, edges_per_tile: int = 0):
 
 
 def _saint_layout_budget(sampler: GraphSaintRandomWalkSampler,
-                         tile_nodes: int = 64) -> int:
-    from ampnet_tpu.ops.pallas.format import default_edge_budget
+                         tile_nodes: int = None) -> int:
+    from ampnet_tpu.ops.pallas.format import DEFAULT_TILE_NODES, default_edge_budget
 
+    tile_nodes = tile_nodes or DEFAULT_TILE_NODES
     num_tiles = -(-sampler.pad_nodes_to // tile_nodes)
     return default_edge_budget(sampler.pad_edges_to, num_tiles)
 
@@ -213,11 +214,14 @@ def train_saint(
     full_layout = _layout_for(full_graph) if use_pallas else None
     budget = _saint_layout_budget(sampler) if use_pallas else 0
 
-    def _required_budget(sub, tile_nodes=64):
+    def _required_budget(sub, tile_nodes=None):
         # actual max per-tile edge count of THIS subgraph, SMEM-aligned —
         # the sampler-derived heuristic (2x average + 128) can be exceeded
         # by hub-node tile skew without any sampler pad regrow, so growing
         # from the sampler alone would re-raise the same overflow
+        from ampnet_tpu.ops.pallas.format import DEFAULT_TILE_NODES
+
+        tile_nodes = tile_nodes or DEFAULT_TILE_NODES
         em = np.asarray(sub.edge_mask)
         r = np.asarray(sub.receivers)[em]
         if r.size == 0:

@@ -15,7 +15,7 @@ import numpy as np
 from ampnet_tpu.core.graph import Graph
 from ampnet_tpu.models.amp_gcn import AMPGCN
 from ampnet_tpu.ops.pallas.edge_attention_fused import amp_edge_attention_pallas
-from ampnet_tpu.ops.pallas.format import build_tiled_csr
+from ampnet_tpu.ops.pallas.format import build_tiled_csr, DEFAULT_TILE_NODES
 from ampnet_tpu.train.losses import masked_accuracy, masked_mean_nll, saint_weighted_nll
 from ampnet_tpu.train.state import TrainState, split_rngs
 
@@ -30,7 +30,7 @@ from ampnet_tpu.ops.pallas.format import (  # noqa: F401
 
 
 def make_fused_fns(model: AMPGCN, graph: Graph, layout: EdgeLayout,
-                   tile_nodes: int = 64, gather: str = "auto",
+                   tile_nodes: int = DEFAULT_TILE_NODES, gather: str = "auto",
                    fused_bwd: bool = True, interpret: bool = False):
     cfg = model.config
 
@@ -47,7 +47,7 @@ def make_fused_fns(model: AMPGCN, graph: Graph, layout: EdgeLayout,
 
 
 def make_pallas_train_step(model: AMPGCN, loss_mode: str = "saint",
-                           tile_nodes: int = 64, gather: str = "auto",
+                           tile_nodes: int = DEFAULT_TILE_NODES, gather: str = "auto",
                            fused_bwd: bool = True, interpret: bool = False):
     """Jitted step(state, graph, layout) with fused convs."""
 
