@@ -1418,11 +1418,21 @@ def amp_edge_attention_pallas(
     fused_bwd=False falls back to recompute through the XLA path.
     """
     num_tiles, emax = tile_senders.shape
+    n, s, d = x.shape
+    # tile_nodes must MATCH the value the layout arrays were built with
+    # (recv_local = receiver % tile_nodes at build time); a mismatch reads
+    # wrong rows silently. Static check: the tile grid must cover x's rows
+    # exactly (t = ceil(n / tile_nodes) at build, so (t-1)*tn < n <= t*tn).
+    if not ((num_tiles - 1) * tile_nodes < n <= num_tiles * tile_nodes):
+        raise ValueError(
+            f"tile_nodes={tile_nodes} inconsistent with layout: {num_tiles} "
+            f"tiles x {tile_nodes} vs {n} node rows — pass the tile_nodes "
+            f"the layout was built with (build_tiled_csr/compute_layout)"
+        )
     tcsr_like = TiledCSR(
         tile_senders[:, None, :], tile_recv[:, None, :], tile_valid[:, None, :],
         tile_nodes, num_tiles, emax, counts=tile_counts,
     )
-    n, s, d = x.shape
     align = 16 if x.dtype == jnp.bfloat16 else 8
     sp = -(-s // align) * align
     gather = _resolve_gather(

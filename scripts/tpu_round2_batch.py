@@ -174,7 +174,7 @@ def big_train_step():
     def loss_fn(x, p):
         out = amp_edge_attention_pallas(
             x, p, senders_j, receivers_j, None, ts, tr, tv, h,
-            gather="dma", fused_bwd=True,
+            tile_nodes=tn, gather="dma", fused_bwd=True,
         )
         return jnp.sum(out * out)
 

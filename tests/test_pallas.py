@@ -297,3 +297,23 @@ def test_v6_bfloat16_parity_interpret(rng, monkeypatch):
         np.asarray(fused, np.float32), np.asarray(ref, np.float32),
         rtol=0.05, atol=0.05,
     )
+
+
+def test_dynamic_entrypoint_rejects_tile_nodes_mismatch(rng):
+    """amp_edge_attention_pallas must refuse a tile_nodes that disagrees
+    with the layout arrays (recv_local is receiver % tile_nodes at build
+    time — a mismatch silently reads wrong rows). Regression: the r3
+    DEFAULT_TILE_NODES flip made this mismatch reachable for callers that
+    built layouts at tn=64 and relied on the old default."""
+    from ampnet_tpu.ops.pallas import edge_attention_fused as eaf
+
+    x, senders, receivers, mask = build_case(rng)
+    params = make_params(rng)
+    tcsr = build_tiled_csr(senders, receivers, mask, 16, tile_nodes=8, group=4)
+    with pytest.raises(ValueError, match="tile_nodes"):
+        eaf.amp_edge_attention_pallas(
+            x, params, jnp.asarray(senders), jnp.asarray(receivers),
+            jnp.asarray(mask), jnp.asarray(tcsr.senders),
+            jnp.asarray(tcsr.recv_local), jnp.asarray(tcsr.valid), 2,
+            tile_nodes=4, gather="vmem", interpret=True,
+        )
