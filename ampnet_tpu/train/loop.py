@@ -175,7 +175,10 @@ def train_full_batch(
     if cfg.run_dir:
         save_checkpoint(os.path.join(cfg.run_dir, "checkpoint_final.pkl"),
                         state, cfg.epochs - 1, history[-1]["loss"] if history else None)
-    return {"state": state, "history": history, "final_metrics": final}
+    # final_params = the best-val-selected params when select_best_every is
+    # on (what final_metrics was computed from), else the final-epoch ones
+    return {"state": state, "history": history, "final_metrics": final,
+            "final_params": final_params}
 
 
 def train_saint(
@@ -306,4 +309,5 @@ def train_saint(
     if cfg.run_dir:
         save_checkpoint(os.path.join(cfg.run_dir, "checkpoint_final.pkl"),
                         state, cfg.epochs - 1, history[-1]["loss"] if history else None)
-    return {"state": state, "history": history, "final_metrics": final}
+    return {"state": state, "history": history, "final_metrics": final,
+            "final_params": final_params}
