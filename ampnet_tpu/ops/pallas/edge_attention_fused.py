@@ -1334,7 +1334,7 @@ def amp_edge_attention_pallas_core(
     kv_itemsize = jnp.dtype(
         jnp.result_type(x.dtype, params.w_qkv.dtype)).itemsize
     gather = _resolve_gather(gather, max(n, n_tiles_nodes) * sp, d,
-                             kv_itemsize)
+                             kv_itemsize, tile_rows=tcsr.tile_nodes * sp)
 
     g6 = group if group else _auto_group(sp, tcsr.edges_per_tile, gather)
     if _v6_usable(n, n_tiles_nodes, sp, d, x.dtype, tcsr.tile_nodes, g6,
@@ -1440,6 +1440,7 @@ def amp_edge_attention_pallas(
         # kv rows carry the PROMOTED projection dtype (bf16 x vs f32
         # params -> f32) — size the resident estimate on that
         jnp.dtype(jnp.result_type(x.dtype, params.w_qkv.dtype)).itemsize,
+        tile_rows=tile_nodes * sp,
     )  # resolved ONCE so fwd and bwd agree
 
     @jax.custom_vjp
@@ -1666,6 +1667,13 @@ def _finish_bwd(x, params, dq_nodes, dkv_nodes, d_wout, d_bout):
 # only single-chip option at large N*S (RESULTS.md production-scale row).
 _VMEM_KV_BUDGET = int(os.environ.get("AMPNET_VMEM_KV_BUDGET", 80 * 1024 * 1024))
 
+# Combined K|V + tile-working-set ceiling for the residency decision
+# (_resolve_gather): must stay under the 100 MB compiler scoped limit
+# with margin for the softmax stack temporaries.
+_VMEM_TOTAL_BUDGET = int(
+    os.environ.get("AMPNET_VMEM_TOTAL_BUDGET", 96 * 1024 * 1024)
+)
+
 # Cap on the LIVE portion of the backward dK|dV edge stream (pass A output
 # consumed by pass B). Tiles are processed in chunks sized to keep the
 # stream under this many bytes, so the 1M-edge train step fits single-chip
@@ -1718,12 +1726,27 @@ def _v6_call(x, params, senders3, recv3, valid3, counts, receivers,
     return rows[: n * sp].reshape(n, sp, d)[:, :s, :]
 
 
-def _resolve_gather(gather: str, n_rows: int, d: int, itemsize: int) -> str:
-    """gather='auto' -> 'vmem' while the resident K|V block fits the VMEM
-    budget, else 'dma'. Explicit 'vmem'/'dma' are honored as given."""
+def _resolve_gather(gather: str, n_rows: int, d: int, itemsize: int,
+                    tile_rows: int = 0) -> str:
+    """gather='auto' -> 'vmem' while the resident K|V block (vs
+    _VMEM_KV_BUDGET) AND the total per-core working set (K|V + pipelined
+    q/out tile windows + acc scratch + group buffers, vs
+    _VMEM_TOTAL_BUDGET under the 100 MB scoped limit) both fit, else
+    'dma'. Explicit 'vmem'/'dma' are honored as given.
+
+    tile_rows = tile_nodes * sp. Mosaic double-buffers the q and out tile
+    windows, so the tile working set is ~5 x tile_rows x D f32 plus group
+    buffers and the lane-padded softmax stack — at tn=512/Cora that is
+    what pushed an approved-resident config to 102 MB > the 100 MB scoped
+    limit (measured r3 probe); the residency decision now charges it."""
     if gather != "auto":
         return gather
-    return "vmem" if n_rows * 2 * d * itemsize <= _VMEM_KV_BUDGET else "dma"
+    kv_bytes = n_rows * 2 * d * itemsize
+    tile_overhead = 5 * tile_rows * d * 4 + 6 * 1024 * 1024
+    return ("vmem"
+            if (kv_bytes <= _VMEM_KV_BUDGET
+                and kv_bytes + tile_overhead <= _VMEM_TOTAL_BUDGET)
+            else "dma")
 
 
 def _auto_group(sp: int, emax: int, gather: str) -> int:

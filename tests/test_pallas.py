@@ -317,3 +317,20 @@ def test_dynamic_entrypoint_rejects_tile_nodes_mismatch(rng):
             jnp.asarray(tcsr.recv_local), jnp.asarray(tcsr.valid), 2,
             tile_nodes=4, gather="vmem", interpret=True,
         )
+
+
+def test_resolve_gather_charges_tile_working_set():
+    """Residency decision must count the per-tile q/out/acc windows, not
+    just resident K|V: at Cora scale tn=512's working set pushed an
+    approved config past the 100 MB scoped VMEM limit (r3 probe) — big
+    tiles must degrade to the DMA path instead of failing compile."""
+    from ampnet_tpu.ops.pallas import edge_attention_fused as eaf
+
+    n, sp, d = 2712, 24, 128
+    for tn, expected in ((64, "vmem"), (256, "vmem"), (512, "dma")):
+        rows = max(n, -(-n // tn) * tn) * sp
+        got = eaf._resolve_gather("auto", rows, d, 4, tile_rows=tn * sp)
+        assert got == expected, (tn, got)
+    # explicit choices are always honored
+    assert eaf._resolve_gather("dma", 1, d, 4) == "dma"
+    assert eaf._resolve_gather("vmem", 10**9, d, 4) == "vmem"
