@@ -14,6 +14,10 @@ from ampnet_tpu.parallel.head_parallel import (
     shard_mha_params,
     head_sharded_amp_edge_attention,
     head_sharded_apply,
+    tp_shard_params,
+    tp_unshard_params,
+    amp_gcn_forward_heads,
+    make_tp_train_step,
 )
 from ampnet_tpu.parallel.edge_partition import (
     PartitionedGraph,
@@ -46,4 +50,8 @@ __all__ = [
     "shard_mha_params",
     "head_sharded_amp_edge_attention",
     "head_sharded_apply",
+    "tp_shard_params",
+    "tp_unshard_params",
+    "amp_gcn_forward_heads",
+    "make_tp_train_step",
 ]
