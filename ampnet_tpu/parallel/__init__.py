@@ -18,6 +18,7 @@ from ampnet_tpu.parallel.head_parallel import (
     tp_unshard_params,
     amp_gcn_forward_heads,
     make_tp_train_step,
+    make_dp_tp_train_step,
 )
 from ampnet_tpu.parallel.edge_partition import (
     PartitionedGraph,
@@ -54,4 +55,5 @@ __all__ = [
     "tp_unshard_params",
     "amp_gcn_forward_heads",
     "make_tp_train_step",
+    "make_dp_tp_train_step",
 ]

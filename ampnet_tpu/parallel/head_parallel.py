@@ -392,3 +392,63 @@ def make_tp_train_step(cfg, mesh: Mesh, tx, loss_mode: str = "full",
         return params, opt_state, {"loss": loss, "train_acc": acc}
 
     return step
+
+
+def make_dp_tp_train_step(cfg, mesh: Mesh, tx, loss_mode: str = "full",
+                          data_axis: str = "data", axis: str = "heads",
+                          scaler_stats=None):
+    """Combined data-parallel x head-TP step over a ('data', ..., 'heads')
+    mesh: the batch Graph carries a leading replica axis sharded over
+    `data_axis` (stack_graphs/shard pattern), params in the
+    tp_shard_params layout are head-sharded over `axis` and replicated
+    over `data_axis`. Loss = mean over replicas; gradient all-reduce over
+    both axes via shard_map's transpose (same psum/axis_size discipline
+    as make_tp_train_step, applied per axis)."""
+    import optax
+
+    def local_loss(params, graph_in, key):
+        graph = jax.tree_util.tree_map(lambda l: l[0], graph_in)
+        di = jax.lax.axis_index(data_axis)
+        my_key = jax.random.fold_in(key, di)
+        logp = amp_gcn_forward_heads(
+            params, graph, cfg, my_key, axis=axis, scaler_stats=scaler_stats)
+        m = (graph.train_mask & graph.node_mask).astype(logp.dtype)
+        nll = -jnp.take_along_axis(
+            logp, graph.y[:, None].astype(jnp.int32), axis=1)[:, 0]
+        if loss_mode == "saint":
+            replica_loss = jnp.sum(nll * graph.node_norm * m)
+        elif loss_mode == "saint_mean":
+            replica_loss = (jnp.sum(nll * graph.node_norm * m)
+                            / jnp.maximum(jnp.sum(graph.node_norm * m), 1e-12))
+        elif loss_mode == "full":
+            replica_loss = jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+        else:
+            raise ValueError(f"unknown loss_mode {loss_mode!r}")
+        correct = jnp.sum((jnp.argmax(logp, -1) == graph.y) * m)
+        # replicated over 'heads' within a replica -> psum/n_heads; then
+        # mean over data replicas -> psum/n_data
+        nh = jax.lax.axis_size(axis)
+        nd = jax.lax.axis_size(data_axis)
+        loss = jax.lax.psum(jax.lax.psum(replica_loss, axis) / nh,
+                            data_axis) / nd
+        acc = (jax.lax.psum(jax.lax.psum(correct, axis) / nh, data_axis)
+               / jnp.maximum(jax.lax.psum(
+                   jax.lax.psum(jnp.sum(m), axis) / nh, data_axis), 1.0))
+        return loss, acc
+
+    @jax.jit
+    def step(params, opt_state, batch, key):
+        pspecs = tp_param_specs(params, axis)
+        gspecs = jax.tree_util.tree_map(lambda _: P(data_axis), batch)
+        fn = shard_map(
+            local_loss, mesh=mesh,
+            in_specs=(pspecs, gspecs, P()), out_specs=(P(), P()),
+            check_vma=False,
+        )
+        (loss, acc), grads = jax.value_and_grad(
+            lambda p: fn(p, batch, key), has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "train_acc": acc}
+
+    return step

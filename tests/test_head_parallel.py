@@ -221,3 +221,55 @@ def test_tp_train_step_matches_single_device_sgd(rng):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5),
         tp_updated, ref_updated)
+
+
+def test_dp_tp_train_step_matches_single_device_sgd(rng):
+    """Combined DP x TP (mesh data=2 x heads=4 = all 8 virtual devices):
+    one SGD step on a 2-replica batch must equal a single-device step on
+    the mean of the two replicas' losses."""
+    import optax
+
+    from ampnet_tpu.ops.tokenize import sample_present_features
+    from ampnet_tpu.parallel.data_parallel import stack_graphs
+    from ampnet_tpu.parallel.head_parallel import (
+        make_dp_tp_train_step,
+        tp_shard_params,
+        tp_unshard_params,
+    )
+
+    model, cfg, params, g0 = _tiny_model(rng)
+    _, _, _, g1 = _tiny_model(np.random.default_rng(5))
+    key = jax.random.PRNGKey(11)
+    lr = 0.1
+
+    mesh = make_mesh(data=2, heads=4)
+    tx = optax.sgd(lr)
+    tpp = tp_shard_params(params, cfg.num_heads, 4)
+    step = make_dp_tp_train_step(cfg, mesh, tx, loss_mode="full")
+    batch = stack_graphs([g0, g1])
+    with mesh:
+        tpp2, _, metrics = step(tpp, tx.init(tpp), batch, key)
+    tp_updated = tp_unshard_params(tpp2, cfg.num_heads)
+
+    def ref_loss(p):
+        total = 0.0
+        for i, g in enumerate((g0, g1)):
+            k = jax.random.fold_in(key, i)
+            sidx = sample_present_features(k, g.x, cfg.num_sampled_vectors)
+            logits = model.apply({"params": p}, g, deterministic=True,
+                                 sampled_idx=sidx, return_aux=False).logits
+            m = (g.train_mask & g.node_mask).astype(logits.dtype)
+            nll = -jnp.take_along_axis(
+                logits, g.y[:, None].astype(jnp.int32), axis=1)[:, 0]
+            total = total + jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+        return total / 2.0
+
+    ref_l, ref_g = jax.value_and_grad(ref_loss)(params)
+    ref_updated = jax.tree_util.tree_map(lambda p, gr: p - lr * gr, params, ref_g)
+
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref_l),
+                               rtol=1e-5, atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5),
+        tp_updated, ref_updated)
