@@ -40,10 +40,13 @@ from ampnet_tpu.train.ssl import SSLPretrainer, make_ssl_train_step
 from ampnet_tpu.train.state import TrainState
 
 
-def build_model(d):
+def build_model(d, hybrid=False):
     cfg = AMPGCNConfig(
         num_sampled_vectors=40, token_sampling="tfidf",
-        scaler="precomputed", dropout_rate=0.1,
+        scaler="precomputed",
+        dropout_rate=0.3 if hybrid else 0.1,
+        dropout_adj_rate=0.1 if hybrid else 0.0,
+        raw_residual="gcn2" if hybrid else False,
     )
     return AMPGCN(config=cfg, scaler_stats=fit_scaler(np.asarray(d.x)))
 
@@ -73,9 +76,9 @@ def pretrain_backbone(model, g, mode, epochs, seed, log_every=50):
     return state.params["backbone"]
 
 
-def downstream_cfg(seed, epochs):
+def downstream_cfg(seed, epochs, weight_decay=5e-4):
     return TrainConfig(
-        learning_rate=3e-3, weight_decay=5e-4, epochs=epochs,
+        learning_rate=3e-3, weight_decay=weight_decay, epochs=epochs,
         cosine_t0=None, grad_clip=1.0, seed=seed,
         select_best_every=10, num_eval_samples=8,
         checkpoint_every=0, run_dir=None, log_every=50,
@@ -107,12 +110,13 @@ def run_arm(model, g, cfg, params, tx, seed):
     return float(res["final_metrics"]["test_acc"])
 
 
-def main(seeds, pretrain_epochs, epochs, modes):
+def main(seeds, pretrain_epochs, epochs, modes, hybrid=False, probes=True):
     d, g = cora_graph()
     results = {}
     for seed in seeds:
-        model = build_model(d)
-        cfg = downstream_cfg(seed, epochs)
+        model = build_model(d, hybrid=hybrid)
+        cfg = downstream_cfg(seed, epochs,
+                             weight_decay=1e-3 if hybrid else 5e-4)
         full_tx = make_optimizer(cfg.learning_rate, weight_decay=cfg.weight_decay,
                                  grad_clip=cfg.grad_clip)
         fresh = create_train_state(model, g, full_tx, seed=seed).params
@@ -122,12 +126,14 @@ def main(seeds, pretrain_epochs, epochs, modes):
             print(f"== seed {seed} {arm}: test acc {acc:.4f}", flush=True)
 
         record("scratch", run_arm(model, g, cfg, fresh, full_tx, seed))
-        record("probe-rand", run_arm(model, g, cfg, fresh, probe_tx(), seed))
+        if probes:
+            record("probe-rand", run_arm(model, g, cfg, fresh, probe_tx(), seed))
         for mode in modes:
             bb = pretrain_backbone(model, g, mode, pretrain_epochs, seed)
             pre = transfer(fresh, bb)
             record(f"ft-{mode}", run_arm(model, g, cfg, pre, full_tx, seed))
-            record(f"probe-{mode}", run_arm(model, g, cfg, pre, probe_tx(), seed))
+            if probes:
+                record(f"probe-{mode}", run_arm(model, g, cfg, pre, probe_tx(), seed))
 
     print("\n=== SSL transfer summary (test acc, mean +/- std over seeds) ===")
     summary = {}
@@ -146,5 +152,10 @@ if __name__ == "__main__":
     p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--modes", nargs="+",
                    default=["contrastive", "predictive"])
+    p.add_argument("--hybrid", action="store_true",
+                   help="downstream = the hybrid raw-residual recipe "
+                        "(drop 0.3/adj 0.1/wd 1e-3, raw_residual=gcn2)")
+    p.add_argument("--no-probes", action="store_true")
     a = p.parse_args()
-    main(a.seeds, a.pretrain_epochs, a.epochs, a.modes)
+    main(a.seeds, a.pretrain_epochs, a.epochs, a.modes, hybrid=a.hybrid,
+         probes=not a.no_probes)
