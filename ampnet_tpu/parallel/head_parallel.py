@@ -270,9 +270,13 @@ def amp_gcn_forward_heads(
         tfidf_sample_features,
     )
 
-    if cfg.frontend != "table" or getattr(cfg, "transformer_block", False):
+    if (cfg.frontend != "table" or getattr(cfg, "transformer_block", False)
+            or not cfg.downsample_feature_vectors
+            or getattr(cfg, "balanced_sampling", False)):
         raise NotImplementedError(
-            "head-sharded forward supports frontend='table', plain stack")
+            "head-sharded forward supports frontend='table', plain stack, "
+            "downsampled uniform/tfidf token sampling (the production "
+            "configs); other frontends would silently mis-tokenize here")
 
     x = graph.x
     if cfg.scaler == "precomputed":
