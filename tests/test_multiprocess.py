@@ -118,3 +118,78 @@ def test_two_process_dp_matches_single_process(tmp_path):
             err_msg=f"param {name} diverged between 2-process and "
                     f"single-process DP (gradient sync broken?)",
         )
+
+
+def _single_process_partitioned_reference():
+    """Same graph through the in-process graph=2 mesh (the already-trusted
+    partitioned path, tests/test_parallel.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ampnet_tpu.models import AMPGCN
+    from ampnet_tpu.parallel import (
+        make_mesh,
+        make_partitioned_train_step,
+        partition_graph,
+    )
+    from ampnet_tpu.parallel.edge_partition import PartitionedGraph
+    from ampnet_tpu.train import create_train_state, make_optimizer
+
+    mesh = make_mesh(data=1, graph=2)
+    g = mp_graph(seed=123)
+    model = AMPGCN(config=CFG)
+    tx = make_optimizer(1e-3)
+    state = create_train_state(model, g, tx, seed=0)
+    pg = partition_graph(g, 2)
+    gsh = NamedSharding(mesh, P("graph"))
+    pg_global = PartitionedGraph(*(jax.device_put(np.asarray(l), gsh) for l in pg))
+    step = make_partitioned_train_step(CFG, mesh, tx, loss_mode="full")
+    params2, _, metrics = step(state.params, tx.init(state.params), pg_global,
+                               jax.random.PRNGKey(3))
+    flat, _ = jax.tree_util.tree_flatten_with_path(params2)
+    return (
+        {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat},
+        float(metrics["loss"]),
+    )
+
+
+def test_two_process_partitioned_matches_single_process(tmp_path):
+    """The halo-exchange all-gather + boundary-gradient reduce-scatter
+    cross a REAL process boundary and still match the in-process run."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(repo, "tests", "_mp_worker.py"),
+             str(rank), str(port), str(tmp_path), "partitioned"],
+            env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for rank in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
+        assert f"OK rank {rank}" in out
+
+    mp_res = np.load(tmp_path / "mp_partitioned_result.npz")
+    ref_params, ref_loss = _single_process_partitioned_reference()
+    np.testing.assert_allclose(float(mp_res["loss"]), ref_loss, rtol=1e-5)
+    for name, ref in ref_params.items():
+        np.testing.assert_allclose(
+            mp_res[name], ref, rtol=1e-5, atol=1e-6,
+            err_msg=f"param {name} diverged between 2-process and "
+                    f"single-process partitioned step",
+        )
