@@ -8,12 +8,9 @@ run (steps donate their state), several distinct graphs so the relay
 cannot dedupe.
 """
 import sys
-import time
 
 sys.path.insert(0, ".")
 sys.path.insert(0, "scripts")
-
-import numpy as np
 
 
 def main():

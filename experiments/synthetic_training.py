@@ -24,7 +24,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from common import *  # noqa: F401,F403  (sys.path setup)
 

@@ -105,8 +105,6 @@ def test_head_sharded_gradients_match(rng):
 
 
 def _tiny_model(rng, raw_residual=False):
-    import dataclasses
-
     from ampnet_tpu.core.config import AMPGCNConfig
     from ampnet_tpu.core.graph import from_arrays
     from ampnet_tpu.models import AMPGCN
