@@ -70,7 +70,9 @@ def plot_search_figure(results, run_base):
         by_noise.setdefault(ns, []).append(te)
     fig, ax = plt.subplots(figsize=(8, 5))
     keys = sorted(by_noise)
-    ax.boxplot([by_noise[k] for k in keys], labels=[str(k) for k in keys])
+    # matplotlib >=3.9 renamed labels= to tick_labels=; set ticks directly
+    ax.boxplot([by_noise[k] for k in keys])
+    ax.set_xticks(range(1, len(keys) + 1), [str(k) for k in keys])
     ax.set_xlabel("noise_std")
     ax.set_ylabel("max test accuracy")
     ax.set_title("XOR grid search")
