@@ -88,6 +88,26 @@ class AMPConv(nn.Module):
             if pallas_interpret is None:
                 pallas_interpret = jax.default_backend() != "tpu"
 
+            if d % 128 and not pallas_interpret:
+                # Mosaic requires the kernels' K|V lane-dim slices (offsets
+                # at multiples of D) aligned to the 128-lane tiling — a
+                # D=100 (the reference's default emb) or D=16 config fails
+                # at compile with "Slice shape ... must be aligned to
+                # tiling (128)" (found r3 validating the README snippet on
+                # chip). Fall back to the XLA path rather than crash.
+                import warnings
+
+                warnings.warn(
+                    f"use_pallas: embed_dim={d} is not a multiple of 128; "
+                    "the fused TPU kernels need 128-lane-aligned K|V "
+                    "slices — falling back to the XLA conv path "
+                    "(use embed_dim=128/256/... for the fused kernels)",
+                    stacklevel=2,
+                )
+                self_use_pallas = False
+            else:
+                self_use_pallas = True
+
             # Runtime edge validity: scatter the (possibly dropout-
             # modified) edge mask into the layout's slots so the kernel
             # honors it; trip counts stay STRUCTURAL (layout counts).
@@ -104,14 +124,15 @@ class AMPConv(nn.Module):
                 if tile_counts is None:
                     tile_counts = jnp.sum(layout.tile_valid != 0, axis=-1)
 
-            def fused_fn(xx, pp):
-                return amp_edge_attention_pallas(
-                    xx, pp, senders, receivers, edge_mask,
-                    layout.tile_senders, layout.tile_recv, tile_valid,
-                    num_heads=self.num_heads, softmax=self.softmax,
-                    tile_nodes=getattr(layout, "tile_nodes", DEFAULT_TILE_NODES),
-                    interpret=pallas_interpret, tile_counts=tile_counts,
-                )
+            if self_use_pallas:
+                def fused_fn(xx, pp):
+                    return amp_edge_attention_pallas(
+                        xx, pp, senders, receivers, edge_mask,
+                        layout.tile_senders, layout.tile_recv, tile_valid,
+                        num_heads=self.num_heads, softmax=self.softmax,
+                        tile_nodes=getattr(layout, "tile_nodes", DEFAULT_TILE_NODES),
+                        interpret=pallas_interpret, tile_counts=tile_counts,
+                    )
 
         if fused_fn is not None:
             # Fused Pallas path. The kernel never materializes per-edge

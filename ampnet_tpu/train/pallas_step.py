@@ -33,6 +33,14 @@ def make_fused_fns(model: AMPGCN, graph: Graph, layout: EdgeLayout,
                    tile_nodes: int = DEFAULT_TILE_NODES, gather: str = "auto",
                    fused_bwd: bool = True, interpret: bool = False):
     cfg = model.config
+    if cfg.embedding_dim % 128 and not interpret:
+        # Mosaic needs 128-lane-aligned K|V slices (offsets at multiples
+        # of D); D=100 (the reference's default emb) fails at compile on
+        # real TPUs — fail loudly here instead of deep in the compiler
+        raise ValueError(
+            f"use_pallas requires embedding_dim % 128 == 0 on TPU "
+            f"(got {cfg.embedding_dim}); use 128/256/... or interpret mode"
+        )
 
     def fused(x, params):
         return amp_edge_attention_pallas(
