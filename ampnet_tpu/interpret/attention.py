@@ -40,7 +40,9 @@ def incoming_edge_attention(
     receivers = np.asarray(receivers)
     valid = receivers == node
     if edge_mask is not None:
-        valid &= np.asarray(edge_mask)
+        # int/float masks (layout-derived validity) would raise on the
+        # in-place bitwise_and with a bool lhs — normalize to bool first
+        valid &= np.asarray(edge_mask).astype(bool)
     edge_ids = np.where(valid)[0]
     out = {
         "edge_ids": edge_ids,
@@ -82,7 +84,8 @@ def calculate_attn_heatmap(
     src_pos[src_top] = np.arange(k)
     dst_pos[dst_top] = np.arange(k)
 
-    sel = edge_mask & (y[senders] == src_class) & (y[receivers] == dst_class)
+    sel = (np.asarray(edge_mask).astype(bool)
+           & (y[senders] == src_class) & (y[receivers] == dst_class))
     eids = np.nonzero(sel)[0]
     heat = np.zeros((k, k))
     counts = np.zeros((k, k))

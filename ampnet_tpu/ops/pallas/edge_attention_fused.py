@@ -1866,6 +1866,16 @@ def fused_attention_aggregate(
     """
     num_tiles, emax = tile_senders.shape
     n_loc, s, d = q_tokens.shape
+    # Same hazard as amp_edge_attention_pallas: tile_nodes must match the
+    # value the layout was built with (recv_local = receiver % tile_nodes
+    # at build time) or recv_local maps to wrong local rows silently.
+    # Static check: the tile grid must cover the local rows exactly.
+    if not ((num_tiles - 1) * tile_nodes < n_loc <= num_tiles * tile_nodes):
+        raise ValueError(
+            f"tile_nodes={tile_nodes} inconsistent with layout: {num_tiles} "
+            f"tiles x {tile_nodes} vs {n_loc} local node rows — pass the "
+            f"tile_nodes the layout was built with (partition_layouts)"
+        )
     n_all = kv_tokens.shape[0]
     align = 16 if q_tokens.dtype == jnp.bfloat16 else 8
     sp = -(-s // align) * align

@@ -220,7 +220,8 @@ try:
         tile_valid: "np.ndarray"
         tile_counts: "np.ndarray" = None   # [T] int32
         edge_slot: "np.ndarray" = None     # [E] int32 (-1 = masked out)
-        tile_nodes: int = _struct.field(pytree_node=False, default=64)
+        tile_nodes: int = _struct.field(pytree_node=False,
+                                        default=DEFAULT_TILE_NODES)
 except ImportError:  # pragma: no cover
     class EdgeLayout(NamedTuple):
         tile_senders: "np.ndarray"

@@ -127,7 +127,7 @@ class ShardLayout(NamedTuple):
 
 def partition_layouts(
     pg: PartitionedGraph,
-    tile_nodes: int = 8,
+    tile_nodes: int = DEFAULT_TILE_NODES,
     edges_per_tile: int = 0,
 ) -> ShardLayout:
     """Host-side: build each shard's tiled CSR from its
@@ -181,7 +181,7 @@ def _sharded_amp_conv(
     softmax: bool,
     axis: str = "graph",
     layout=None,                   # (tile_senders, tile_recv, tile_valid) [T, EMAX]
-    tile_nodes: int = 8,
+    tile_nodes: int = DEFAULT_TILE_NODES,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One AMPConv with all-gather halo exchange over `axis`.
@@ -256,7 +256,7 @@ def amp_gcn_forward_local(
     sample_key: jax.Array,
     axis: str = "graph",
     layout=None,               # per-shard (tile_senders, tile_recv, tile_valid)
-    tile_nodes: int = 8,
+    tile_nodes: int = DEFAULT_TILE_NODES,
     interpret: bool = False,
     scaler_stats=None,         # (mean, std) for cfg.scaler='precomputed'
 ) -> jnp.ndarray:

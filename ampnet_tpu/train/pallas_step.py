@@ -30,9 +30,14 @@ from ampnet_tpu.ops.pallas.format import (  # noqa: F401
 
 
 def make_fused_fns(model: AMPGCN, graph: Graph, layout: EdgeLayout,
-                   tile_nodes: int = DEFAULT_TILE_NODES, gather: str = "auto",
+                   tile_nodes: int | None = None, gather: str = "auto",
                    fused_bwd: bool = True, interpret: bool = False):
     cfg = model.config
+    # tile_nodes is layout geometry: the kernel grid must match what the
+    # layout arrays were built with, so derive it from the layout (as
+    # AMPConv does) unless the caller overrides explicitly.
+    if tile_nodes is None:
+        tile_nodes = getattr(layout, "tile_nodes", DEFAULT_TILE_NODES)
     if cfg.embedding_dim % 128 and not interpret:
         # Mosaic needs 128-lane-aligned K|V slices (offsets at multiples
         # of D); D=100 (the reference's default emb) fails at compile on
@@ -55,7 +60,7 @@ def make_fused_fns(model: AMPGCN, graph: Graph, layout: EdgeLayout,
 
 
 def make_pallas_train_step(model: AMPGCN, loss_mode: str = "saint",
-                           tile_nodes: int = DEFAULT_TILE_NODES, gather: str = "auto",
+                           tile_nodes: int | None = None, gather: str = "auto",
                            fused_bwd: bool = True, interpret: bool = False):
     """Jitted step(state, graph, layout) with fused convs."""
 

@@ -158,10 +158,11 @@ def main():
 
         if pallas_available():
             n = x.shape[0]
-            # tile_nodes=256: fewer partial edge groups per tile — probe11
-            # (r3) measured 0.955x vs the tn=64 default at Cora scale with
-            # exact parity; the library default stays 64 pending a
-            # backward-path A/B (training reuses layouts across kernels).
+            # tile_nodes=256 (= DEFAULT_TILE_NODES, the library-wide
+            # default since the probe12/13 backward-path A/B): fewer
+            # partial edge groups per tile — probe11 (r3) measured 0.955x
+            # vs tn=64 at Cora scale with exact parity; explicit here so
+            # the bench geometry is pinned even if the default moves.
             fused = make_pallas_edge_attention(
                 np.asarray(senders), np.asarray(receivers),
                 np.ones(e, bool), n, h, tile_nodes=256,

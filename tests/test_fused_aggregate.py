@@ -61,3 +61,15 @@ def test_fused_aggregate_grads(rng):
     touched = np.unique(senders[mask])
     untouched = np.setdiff1d(np.arange(kv.shape[0]), touched)
     np.testing.assert_allclose(np.asarray(gkv_f)[untouched], 0.0, atol=1e-6)
+
+
+def test_fused_aggregate_rejects_mismatched_tile_nodes(rng):
+    """ADVICE r3: a tile_nodes inconsistent with the layout grid used to
+    map recv_local to wrong rows silently — must raise instead."""
+    q, kv, senders, receivers, mask, tcsr = build(rng)  # built at tile_nodes=4
+    with pytest.raises(ValueError, match="tile_nodes"):
+        fused_attention_aggregate(
+            q, kv, jnp.asarray(tcsr.senders), jnp.asarray(tcsr.recv_local),
+            jnp.asarray(tcsr.valid), num_heads=H, tile_nodes=256,
+            interpret=True,
+        )

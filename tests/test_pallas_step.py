@@ -233,3 +233,21 @@ def test_use_pallas_with_dropout_adj_trains(rng):
                      checkpoint_every=0)
     res = train_full_batch(model, g, tc)
     assert np.isfinite(res["history"][-1]["loss"])
+
+
+def test_make_fused_fns_derives_tile_nodes_from_layout(rng):
+    """ADVICE r3: callers that build a layout at a non-default tile_nodes
+    and omit the kwarg must get the layout's geometry, not the library
+    default (which the consistency guard would reject)."""
+    g = tiny_graph(rng)
+    model = AMPGCN(config=CFG)
+    k = jax.random.PRNGKey(0)
+    variables = model.init({"params": k, "sample": k, "dropout": k, "edges": k}, g)
+    layout = compute_layout(g, tile_nodes=8, edges_per_tile=128)
+    assert layout.tile_nodes == 8
+    fns = make_fused_fns(model, g, layout, interpret=True)  # no tile_nodes
+    out = model.apply(
+        variables, g, deterministic=True, return_aux=False, fused_fns=fns,
+        rngs={"sample": k, "dropout": k, "edges": k},
+    )
+    assert np.isfinite(np.asarray(out.logits)).all()
