@@ -132,6 +132,14 @@ class AMPConv(nn.Module):
                         num_heads=self.num_heads, softmax=self.softmax,
                         tile_nodes=getattr(layout, "tile_nodes", DEFAULT_TILE_NODES),
                         interpret=pallas_interpret, tile_counts=tile_counts,
+                        # transposed layout (scatter-free backward); the op
+                        # scatters the runtime edge_mask into snd validity
+                        # itself via snd_edge_slot
+                        snd_receivers=getattr(layout, "snd_receivers", None),
+                        snd_local=getattr(layout, "snd_local", None),
+                        snd_valid=getattr(layout, "snd_valid", None),
+                        snd_counts=getattr(layout, "snd_counts", None),
+                        snd_edge_slot=getattr(layout, "snd_edge_slot", None),
                     )
 
         if fused_fn is not None:

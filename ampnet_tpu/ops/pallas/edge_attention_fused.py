@@ -82,6 +82,12 @@ _V6_VMEM_LIMIT = int(os.environ.get("AMPNET_V6_VMEM_LIMIT", 120 * 1024 * 1024))
 # work) for A/Bs.
 DMA_V1_DEFAULT = os.environ.get("AMPNET_DMA_V1", "0") == "1"
 
+# Scatter-free two-pass backward (edge_attention_bwd_scatterfree.py):
+# active when the layout carries the transposed sender-tiled arrays
+# (compute_layout(sender_layout=True)). AMPNET_SCATTERFREE_BWD=0 forces
+# the dK|dV-stream backward for A/Bs.
+SCATTERFREE_BWD_DEFAULT = os.environ.get("AMPNET_SCATTERFREE_BWD", "1") == "1"
+
 
 def _softmax_stack_bytes(group: int, sp: int, num_heads: int) -> int:
     """Estimate of the attention body's peak VMEM *stack* (Mosaic
@@ -1408,13 +1414,21 @@ def amp_edge_attention_pallas(
     tile_counts: Optional[jnp.ndarray] = None,  # [T] STRUCTURAL counts —
     # REQUIRED when tile_valid carries a runtime mask (edge dropout): trip
     # counts must cover all structural slots even if some are dropped
+    snd_receivers: Optional[jnp.ndarray] = None,  # [T, EMAXS] transposed
+    snd_local: Optional[jnp.ndarray] = None,      # (sender-tiled) layout —
+    snd_valid: Optional[jnp.ndarray] = None,      # STRUCTURAL validity —
+    snd_counts: Optional[jnp.ndarray] = None,     # enables the scatter-
+    snd_edge_slot: Optional[jnp.ndarray] = None,  # free backward (pass S)
+    scatterfree: Optional[bool] = None,  # None = AMPNET_SCATTERFREE_BWD
 ) -> jnp.ndarray:
     """Jittable fused edge attention with a DYNAMIC tiled-CSR layout.
 
     The layout arrays are data (built per subgraph on host by
     build_tiled_csr with a fixed edges_per_tile budget), so GraphSAINT
     subgraphs with differing edges share one compiled executable.
-    custom VJP: fused Pallas backward (edge_attention_bwd.py) by default;
+    custom VJP: fused Pallas backward by default — scatter-free two-pass
+    (edge_attention_bwd_scatterfree.py) when the transposed snd_* layout
+    is provided, else the dK|dV-stream backward (edge_attention_bwd.py);
     fused_bwd=False falls back to recompute through the XLA path.
     """
     num_tiles, emax = tile_senders.shape
@@ -1433,6 +1447,32 @@ def amp_edge_attention_pallas(
         tile_senders[:, None, :], tile_recv[:, None, :], tile_valid[:, None, :],
         tile_nodes, num_tiles, emax, counts=tile_counts,
     )
+    if scatterfree is None:
+        scatterfree = SCATTERFREE_BWD_DEFAULT
+    snd_tcsr = None
+    if scatterfree and snd_receivers is not None:
+        t_s, emax_s = snd_receivers.shape
+        if t_s != num_tiles:
+            raise ValueError(
+                f"sender layout has {t_s} tiles vs receiver layout's "
+                f"{num_tiles} — both must be built with the same "
+                f"tile_nodes over the same padded node count"
+            )
+        sv = snd_valid
+        if edge_mask is not None and snd_edge_slot is not None:
+            # scatter the RUNTIME edge mask (adjacency dropout) into the
+            # sender layout's validity slots, mirroring what the caller
+            # does for the receiver layout; trip counts stay STRUCTURAL
+            slot = jnp.where(snd_edge_slot < 0, t_s * emax_s, snd_edge_slot)
+            flat = jnp.zeros((t_s * emax_s + 1,), jnp.int32).at[slot].set(
+                edge_mask.astype(jnp.int32))
+            sv = flat[:-1].reshape(t_s, emax_s)
+        scounts = (snd_counts if snd_counts is not None
+                   else jnp.sum((snd_valid != 0).astype(jnp.int32), axis=-1))
+        snd_tcsr = TiledCSR(
+            snd_receivers[:, None, :], snd_local[:, None, :], sv[:, None, :],
+            tile_nodes, t_s, emax_s, counts=scounts,
+        )
     align = 16 if x.dtype == jnp.bfloat16 else 8
     sp = -(-s // align) * align
     gather = _resolve_gather(
@@ -1477,6 +1517,7 @@ def amp_edge_attention_pallas(
         return _pallas_bwd_dynamic(
             x_, params_, g, tcsr_like, receivers, edge_mask, num_heads,
             softmax, gather, interpret, sums=sums_, count=count_,
+            snd_tcsr=snd_tcsr,
         )
 
     fused.defvjp(fwd, bwd_fused if fused_bwd else bwd_xla)
@@ -1485,11 +1526,14 @@ def amp_edge_attention_pallas(
 
 def _pallas_bwd_dynamic(
     x, params, gout, tcsr, receivers, edge_mask, num_heads, softmax,
-    gather, interpret, sums=None, count=None,
+    gather, interpret, sums=None, count=None, snd_tcsr=None,
 ):
     """Full backward: out-proj/mean grads (XLA) -> pass A kernel
     (recompute + dQ/dK/dV) -> sender segment-sum + projection grads (XLA).
-    See ops/pallas/edge_attention_bwd.py."""
+    See ops/pallas/edge_attention_bwd.py. With snd_tcsr (the transposed
+    sender-tiled layout), the scatter-free two-pass backward replaces
+    both the dK|dV stream and pass B's segment-sum/chunked fold — see
+    ops/pallas/edge_attention_bwd_scatterfree.py."""
     from ampnet_tpu.ops.pallas.edge_attention_bwd import (
         fused_edge_bwd,
         fused_edge_bwd_v2,
@@ -1560,6 +1604,39 @@ def _pallas_bwd_dynamic(
         dsum_rows = jnp.pad(dsum_rows, ((0, (nt - n) * sp), (0, 0)))
 
     emax = tcsr.edges_per_tile
+    if snd_tcsr is not None:
+        # SCATTER-FREE two-pass backward: pass R (receiver-tiled) locally
+        # accumulates dQ, pass S (sender-tiled) locally accumulates
+        # dK|dV — no per-edge stream, no pass-B scatter, no chunked fold.
+        from ampnet_tpu.ops.pallas.edge_attention_bwd_scatterfree import (
+            fused_edge_bwd_dq,
+            fused_edge_bwd_dkv,
+        )
+
+        dq_rows = fused_edge_bwd_dq(
+            q_rows, kv_rows, dsum_rows.astype(q_rows.dtype),
+            tcsr.senders, tcsr.recv_local, tcsr.valid, counts,
+            num_heads=num_heads, softmax=softmax,
+            tile_nodes=tcsr.tile_nodes, group=group,
+            num_tiles=tcsr.num_tiles, emax=emax, s=s, gather=gather,
+            interpret=interpret,
+        )
+        qdm_rows = jnp.concatenate(
+            [q_rows, dsum_rows.astype(q_rows.dtype)], axis=1)
+        scounts = (snd_tcsr.counts if snd_tcsr.counts is not None
+                   else _structural_counts(snd_tcsr.valid))
+        group_s = _auto_group(sp, snd_tcsr.edges_per_tile, gather)
+        dkv_rows = fused_edge_bwd_dkv(
+            qdm_rows, kv_rows,
+            snd_tcsr.senders, snd_tcsr.recv_local, snd_tcsr.valid, scounts,
+            num_heads=num_heads, softmax=softmax,
+            tile_nodes=snd_tcsr.tile_nodes, group=group_s,
+            num_tiles=snd_tcsr.num_tiles, emax=snd_tcsr.edges_per_tile,
+            s=s, gather=gather, interpret=interpret,
+        )
+        dq_nodes = dq_rows[: n * sp].reshape(n, sp, d)[:, :s, :]
+        dkv_nodes = dkv_rows[: n * sp].reshape(n, sp, 2 * d)[:, :s, :]
+        return _finish_bwd(x, params, dq_nodes, dkv_nodes, d_wout, d_bout)
     if vmem:
         dq_rows, dkv_stream = fused_edge_bwd_v2(
             q_rows, kv_rows, dsum_rows.astype(q_rows.dtype),

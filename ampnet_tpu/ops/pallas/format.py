@@ -220,6 +220,17 @@ try:
         tile_valid: "np.ndarray"
         tile_counts: "np.ndarray" = None   # [T] int32
         edge_slot: "np.ndarray" = None     # [E] int32 (-1 = masked out)
+        # TRANSPOSED (sender-tiled) layout for the scatter-free backward:
+        # the same edges bucketed by SENDER tile, so the dK|dV backward
+        # kernel accumulates into local sender rows exactly like the
+        # forward accumulates messages into local receiver rows — no
+        # per-edge dK|dV stream, no pass-B scatter. All None on layouts
+        # built with sender_layout=False (the stream backward is used).
+        snd_receivers: "np.ndarray" = None  # [T, EMAXS] GLOBAL receiver ids
+        snd_local: "np.ndarray" = None      # [T, EMAXS] local sender row
+        snd_valid: "np.ndarray" = None      # [T, EMAXS] structural 0/1
+        snd_counts: "np.ndarray" = None     # [T] int32
+        snd_edge_slot: "np.ndarray" = None  # [E] int32 (-1 = masked out)
         tile_nodes: int = _struct.field(pytree_node=False,
                                         default=DEFAULT_TILE_NODES)
 except ImportError:  # pragma: no cover
@@ -229,6 +240,11 @@ except ImportError:  # pragma: no cover
         tile_valid: "np.ndarray"
         tile_counts: "np.ndarray" = None
         edge_slot: "np.ndarray" = None
+        snd_receivers: "np.ndarray" = None
+        snd_local: "np.ndarray" = None
+        snd_valid: "np.ndarray" = None
+        snd_counts: "np.ndarray" = None
+        snd_edge_slot: "np.ndarray" = None
         tile_nodes: int = DEFAULT_TILE_NODES
 
 
@@ -246,18 +262,42 @@ def default_edge_budget(num_edges_padded: int, num_tiles: int,
     return ((budget + step - 1) // step) * step
 
 
-def compute_layout(graph, tile_nodes: int = DEFAULT_TILE_NODES, edges_per_tile: int = 0) -> EdgeLayout:
+def compute_layout(graph, tile_nodes: int = DEFAULT_TILE_NODES,
+                   edges_per_tile: int = 0, sender_layout: bool = True,
+                   snd_edges_per_tile: int = 0) -> EdgeLayout:
     """Host-side layout build for a padded Graph (numpy). Use a fixed
-    edges_per_tile budget to share one executable across subgraphs."""
+    edges_per_tile budget to share one executable across subgraphs
+    (snd_edges_per_tile fixes the sender-tiled budget the same way; it
+    is independent because it is bounded by per-tile OUT-degree where
+    edges_per_tile is bounded by IN-degree)."""
     import jax.numpy as jnp
 
+    senders = np.asarray(graph.senders)
+    receivers = np.asarray(graph.receivers)
+    mask = np.asarray(graph.edge_mask)
     tcsr = build_tiled_csr(
-        np.asarray(graph.senders), np.asarray(graph.receivers),
-        np.asarray(graph.edge_mask), graph.num_nodes_padded,
+        senders, receivers, mask, graph.num_nodes_padded,
         tile_nodes=tile_nodes, edges_per_tile=edges_per_tile,
     )
+    snd = {}
+    if sender_layout:
+        # the SAME edges bucketed by sender: build_tiled_csr with the
+        # roles swapped — "senders" column gets the global receiver ids,
+        # rows are bucketed by (and local to) the sender tile
+        stcsr = build_tiled_csr(
+            receivers, senders, mask, graph.num_nodes_padded,
+            tile_nodes=tile_nodes, edges_per_tile=snd_edges_per_tile,
+        )
+        snd = dict(
+            snd_receivers=jnp.asarray(stcsr.senders),
+            snd_local=jnp.asarray(stcsr.recv_local),
+            snd_valid=jnp.asarray(stcsr.valid),
+            snd_counts=jnp.asarray(stcsr.counts),
+            snd_edge_slot=jnp.asarray(stcsr.edge_slot),
+        )
     return EdgeLayout(
         jnp.asarray(tcsr.senders), jnp.asarray(tcsr.recv_local),
         jnp.asarray(tcsr.valid), tile_counts=jnp.asarray(tcsr.counts),
         edge_slot=jnp.asarray(tcsr.edge_slot), tile_nodes=tile_nodes,
+        **snd,
     )

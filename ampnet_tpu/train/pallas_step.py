@@ -54,6 +54,12 @@ def make_fused_fns(model: AMPGCN, graph: Graph, layout: EdgeLayout,
             num_heads=cfg.num_heads, softmax=cfg.attn_softmax,
             tile_nodes=tile_nodes, gather=gather,
             fused_bwd=fused_bwd, interpret=interpret,
+            tile_counts=getattr(layout, "tile_counts", None),
+            snd_receivers=getattr(layout, "snd_receivers", None),
+            snd_local=getattr(layout, "snd_local", None),
+            snd_valid=getattr(layout, "snd_valid", None),
+            snd_counts=getattr(layout, "snd_counts", None),
+            snd_edge_slot=getattr(layout, "snd_edge_slot", None),
         )
 
     return (fused, fused)
