@@ -218,6 +218,65 @@ def main():
             "spread_pct": round(100.0 * (max(ms) - min(ms)) / med, 1),
         }
 
+    # Secondary metric: the full fused TRAIN STEP (fwd + scatter-free
+    # fused bwd + adam) at full-batch Cora shapes — captures the backward
+    # line's state in the artifact (r4: scatter-free backward measured
+    # 0.64x the stream backward at this scale, kernel_probe15).
+    train_step = None
+    if os.environ.get("AMPNET_BENCH_TRAIN", "1") == "1":
+        try:
+            print("bench: timing fused train step (full-batch Cora shapes)...",
+                  file=sys.stderr)
+            from ampnet_tpu.core.config import AMPGCNConfig
+            from ampnet_tpu.core.graph import from_arrays
+            from ampnet_tpu.models import AMPGCN
+            from ampnet_tpu.train import create_train_state, make_optimizer
+            from ampnet_tpu.train.pallas_step import (
+                compute_layout,
+                default_edge_budget,
+                make_pallas_train_step,
+            )
+
+            rng = np.random.default_rng(0)
+            n_g = 2712
+            graphs = []
+            for seed in range(4):
+                r2 = np.random.default_rng(seed)
+                xf = (r2.random((n_g, 1433)) < 0.02).astype(np.float32)
+                xf[xf.sum(1) == 0, 0] = 1.0
+                ei = np.stack([r2.integers(0, n_g, e), r2.integers(0, n_g, e)])
+                graphs.append(from_arrays(
+                    xf, ei, y=r2.integers(0, 7, n_g),
+                    train_mask=np.ones(n_g, bool),
+                    node_norm=np.ones(n_g, np.float32)))
+            budget = default_edge_budget(
+                graphs[0].num_edges_padded,
+                -(-graphs[0].num_nodes_padded // 256), slack=4.0)
+            layouts = [compute_layout(g, edges_per_tile=budget)
+                       for g in graphs]
+            cfg = AMPGCNConfig(dropout_rate=0.0, dropout_adj_rate=0.0)
+            model = AMPGCN(config=cfg)
+            step = make_pallas_train_step(model, loss_mode="saint")
+            state = create_train_state(model, graphs[0], make_optimizer(1e-3),
+                                       seed=0)
+            state, _ = step(state, graphs[0], layouts[0])  # compile
+            jax.block_until_ready(state.params)
+            iters = 10
+            t0 = time.perf_counter()
+            for i in range(iters):
+                state, _ = step(state, graphs[i % 4], layouts[i % 4])
+            jax.block_until_ready(state.params)
+            step_ms = (time.perf_counter() - t0) / iters * 1e3
+            train_step = {
+                "ms_per_step": round(step_ms, 2),
+                "shape": "full-batch Cora (N=2712, E=10556, S=20, D=128, H=4)",
+                "backward": "scatter-free two-pass (r4)",
+            }
+            print(f"bench: fused train step {step_ms:.2f} ms", file=sys.stderr)
+        except Exception as err:
+            print(f"train-step timing failed: {type(err).__name__}: {err}",
+                  file=sys.stderr)
+
     edges_per_s = e / t_opt
     result = {
         "metric": f"edges/s/chip ({metric_path} AMPNet edge attention, Cora D=128 H=4 S=20)",
@@ -227,6 +286,7 @@ def main():
         "used_ms": round(t_opt * 1e3, 3),
         "optimized": _disp(opt_reps),
         "naive": _disp(tns),
+        "train_step": train_step,
     }
     print(json.dumps(result))
 
