@@ -280,6 +280,13 @@ def compute_layout(graph, tile_nodes: int = DEFAULT_TILE_NODES,
         tile_nodes=tile_nodes, edges_per_tile=edges_per_tile,
     )
     snd = {}
+    if sender_layout and edges_per_tile and not snd_edges_per_tile:
+        # a FIXED receiver budget means the caller wants one executable
+        # across subgraphs — the sender layout must hold a fixed shape
+        # too (avg out-degree per tile == avg in-degree per tile, so the
+        # same budget is the right scale; overflow raises loudly and the
+        # caller's regrow path covers both sides)
+        snd_edges_per_tile = edges_per_tile
     if sender_layout:
         # the SAME edges bucketed by sender: build_tiled_csr with the
         # roles swapped — "senders" column gets the global receiver ids,

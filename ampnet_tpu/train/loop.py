@@ -227,10 +227,15 @@ def train_saint(
         tile_nodes = tile_nodes or DEFAULT_TILE_NODES
         em = np.asarray(sub.edge_mask)
         r = np.asarray(sub.receivers)[em]
+        s = np.asarray(sub.senders)[em]
         if r.size == 0:
             return 128
-        counts = np.bincount(r // tile_nodes)
-        return ((int(counts.max()) + 127) // 128) * 128
+        # the shared budget serves BOTH layouts: receiver-tiled (fwd +
+        # dQ pass, bounded by in-degree tile skew) and sender-tiled
+        # (scatter-free dK|dV pass, bounded by OUT-degree tile skew)
+        need = max(int(np.bincount(r // tile_nodes).max()),
+                   int(np.bincount(s // tile_nodes).max()))
+        return ((need + 127) // 128) * 128
 
     def sub_layout(sub):
         nonlocal budget

@@ -251,3 +251,17 @@ def test_make_fused_fns_derives_tile_nodes_from_layout(rng):
         rngs={"sample": k, "dropout": k, "edges": k},
     )
     assert np.isfinite(np.asarray(out.logits)).all()
+
+
+def test_fixed_budget_fixes_sender_layout_shape(rng):
+    """One executable across GraphSAINT subgraphs requires FIXED layout
+    shapes: with edges_per_tile set, the sender-tiled arrays must come
+    out the same shape for different subgraphs (the snd budget defaults
+    to the receiver budget)."""
+    g1, g2 = tiny_graph(rng), tiny_graph(np.random.default_rng(7))
+    l1 = compute_layout(g1, tile_nodes=8, edges_per_tile=128)
+    l2 = compute_layout(g2, tile_nodes=8, edges_per_tile=128)
+    assert l1.snd_receivers.shape == l2.snd_receivers.shape
+    assert l1.tile_senders.shape == l1.snd_receivers.shape
+    import jax
+    assert jax.tree_util.tree_structure(l1) == jax.tree_util.tree_structure(l2)
