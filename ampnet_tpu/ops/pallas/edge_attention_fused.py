@@ -1926,6 +1926,11 @@ def fused_attention_aggregate(
     softmax: bool = True,
     tile_nodes: int = DEFAULT_TILE_NODES,
     interpret: bool = False,
+    snd_receivers: Optional[jnp.ndarray] = None,  # [Tg, EMAXS] LOCAL recv ids
+    snd_local: Optional[jnp.ndarray] = None,      # [Tg, EMAXS] sender row in
+    snd_valid: Optional[jnp.ndarray] = None,      # its GLOBAL tile — enables
+    snd_counts: Optional[jnp.ndarray] = None,     # the scatter-free backward
+    scatterfree: Optional[bool] = None,  # None = AMPNET_SCATTERFREE_BWD
 ) -> jnp.ndarray:
     """Fused per-edge attention + per-receiver SUM on projected tensors.
 
@@ -1961,6 +1966,23 @@ def fused_attention_aggregate(
     ts3 = tile_senders[:, None, :]
     tr3 = tile_recv[:, None, :]
     tv3 = tile_valid[:, None, :]
+    if scatterfree is None:
+        scatterfree = SCATTERFREE_BWD_DEFAULT
+    use_scatterfree = scatterfree and snd_receivers is not None
+    if use_scatterfree:
+        t_g, emax_s = snd_receivers.shape
+        # the sender grid tiles the GLOBAL (all-gathered) node axis
+        if not ((t_g - 1) * tile_nodes < n_all <= t_g * tile_nodes):
+            raise ValueError(
+                f"sender layout grid {t_g} x {tile_nodes} inconsistent with "
+                f"{n_all} global node rows — build it over the all-gathered "
+                f"axis with the same tile_nodes (partition_layouts)"
+            )
+        ss3 = snd_receivers[:, None, :]
+        sl3 = snd_local[:, None, :]
+        sv3 = snd_valid[:, None, :]
+        scounts = (snd_counts if snd_counts is not None
+                   else jnp.sum((snd_valid != 0).astype(jnp.int32), axis=-1))
 
     def to_rows(t, n_rows):
         if sp != t.shape[1]:
@@ -1985,7 +2007,9 @@ def fused_attention_aggregate(
     def fwd(q_tokens, kv_tokens):
         # layouts threaded through residuals — closing over traced arrays
         # in bwd leaks tracers across the transform boundary
-        return op(q_tokens, kv_tokens), (q_tokens, kv_tokens, ts3, tr3, tv3)
+        extras = (ss3, sl3, sv3, scounts) if use_scatterfree else ()
+        return op(q_tokens, kv_tokens), (q_tokens, kv_tokens, ts3, tr3, tv3,
+                                         *extras)
 
     def bwd(res, g):
         from ampnet_tpu.ops.pallas.edge_attention_bwd import (
@@ -1994,11 +2018,43 @@ def fused_attention_aggregate(
         )
         from ampnet_tpu.ops.segment import segment_sum
 
-        q_tokens_, kv_tokens_, ts3_, tr3_, tv3_ = res
+        q_tokens_, kv_tokens_, ts3_, tr3_, tv3_, *extras = res
         gv2 = _auto_group(sp, emax, "vmem")
         q_rows = to_rows(q_tokens_, nt)
         kv_rows = to_rows(kv_tokens_, n_all)
         dsum_rows = to_rows(g.astype(q_rows.dtype), nt)
+        if use_scatterfree:
+            # scatter-free: dQ by local receiver tile, dK|dV accumulated
+            # per GLOBAL sender tile over the transposed layout — no
+            # stream, no segment-sum over the all-gathered axis. AD
+            # through shard_map still reduce-scatters the boundary grads.
+            from ampnet_tpu.ops.pallas.edge_attention_bwd_scatterfree import (
+                fused_edge_bwd_dq,
+                fused_edge_bwd_dkv,
+            )
+
+            ss3_, sl3_, sv3_, scounts_ = extras
+            dq_rows = fused_edge_bwd_dq(
+                q_rows, kv_rows, dsum_rows, ts3_, tr3_, tv3_,
+                _structural_counts(tv3_),
+                num_heads=num_heads, softmax=softmax, tile_nodes=tile_nodes,
+                group=gv2, num_tiles=num_tiles, emax=emax, s=s,
+                gather="vmem", interpret=interpret,
+            )
+            qdm_rows = jnp.concatenate([q_rows, dsum_rows], axis=1)
+            ntg = t_g * tile_nodes
+            kv_rows_g = kv_rows
+            if ntg > n_all:
+                kv_rows_g = jnp.pad(kv_rows, ((0, (ntg - n_all) * sp), (0, 0)))
+            dkv_rows = fused_edge_bwd_dkv(
+                qdm_rows, kv_rows_g, ss3_, sl3_, sv3_, scounts_,
+                num_heads=num_heads, softmax=softmax, tile_nodes=tile_nodes,
+                group=_auto_group(sp, emax_s, "vmem"), num_tiles=t_g,
+                emax=emax_s, s=s, gather="vmem", interpret=interpret,
+            )
+            dq = dq_rows[: n_loc * sp].reshape(n_loc, sp, d)[:, :s, :]
+            dkv = dkv_rows[: n_all * sp].reshape(n_all, sp, 2 * d)[:, :s, :]
+            return dq.astype(q_tokens_.dtype), dkv.astype(kv_tokens_.dtype)
         dq_rows, dkv_stream = fused_edge_bwd_v2(
             q_rows, kv_rows, dsum_rows, ts3_, tr3_, tv3_,
             _structural_counts(tv3_),

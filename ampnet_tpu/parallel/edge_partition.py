@@ -118,11 +118,16 @@ class ShardLayout(NamedTuple):
     """Per-shard tiled-CSR layouts (leaves stacked on a leading shard
     axis) for running the fused Pallas kernel inside the edge-partitioned
     path: receivers are LOCAL rows, senders are GLOBAL node ids (indexing
-    the all-gathered K|V)."""
+    the all-gathered K|V). The snd_* leaves are the TRANSPOSED layout —
+    the same edges bucketed by GLOBAL sender tile with local receiver ids
+    in the gather column — for the scatter-free backward's dK|dV pass."""
 
     tile_senders: jnp.ndarray  # [P, T, EMAX]
     tile_recv: jnp.ndarray     # [P, T, EMAX]
     tile_valid: jnp.ndarray    # [P, T, EMAX]
+    snd_receivers: jnp.ndarray  # [P, Tg, EMAXS] LOCAL receiver ids
+    snd_local: jnp.ndarray      # [P, Tg, EMAXS] sender row in GLOBAL tile
+    snd_valid: jnp.ndarray      # [P, Tg, EMAXS]
 
 
 def partition_layouts(
@@ -131,23 +136,30 @@ def partition_layouts(
     edges_per_tile: int = 0,
 ) -> ShardLayout:
     """Host-side: build each shard's tiled CSR from its
-    (senders_global, receivers_local) edge list. A fixed edges_per_tile
-    keeps one static shape across shards."""
+    (senders_global, receivers_local) edge list, plus the transposed
+    (global-sender-tiled) layout for the scatter-free backward. A fixed
+    edges_per_tile keeps one static shape across shards (it serves both
+    bucketings; the builder raises on overflow)."""
     from ampnet_tpu.ops.pallas.format import build_tiled_csr
 
     p = pg.num_shards
     n_loc = pg.x.shape[1]
+    n_all = p * n_loc
     if not edges_per_tile:
-        # common budget = max per-shard need, SMEM-block aligned
+        # common budget = max per-shard need over BOTH bucketings
+        # (receiver-local tiles and global-sender tiles), SMEM-aligned
         need = 0
         for i in range(p):
             em = np.asarray(pg.edge_mask[i])
             r = np.asarray(pg.receivers_local[i])[em]
+            sg = np.asarray(pg.senders_global[i])[em]
             if r.size:
                 counts = np.bincount(r // tile_nodes, minlength=-(-n_loc // tile_nodes))
-                need = max(need, int(counts.max()))
+                scounts = np.bincount(sg // tile_nodes, minlength=-(-n_all // tile_nodes))
+                need = max(need, int(counts.max()), int(scounts.max()))
         edges_per_tile = max(128, -(-max(need, 1) // 128) * 128)
     ts, tr, tv = [], [], []
+    ss, sl, sv = [], [], []
     for i in range(p):
         tcsr = build_tiled_csr(
             np.asarray(pg.senders_global[i]), np.asarray(pg.receivers_local[i]),
@@ -157,8 +169,19 @@ def partition_layouts(
         ts.append(tcsr.senders)
         tr.append(tcsr.recv_local)
         tv.append(tcsr.valid)
+        stcsr = build_tiled_csr(
+            np.asarray(pg.receivers_local[i]), np.asarray(pg.senders_global[i]),
+            np.asarray(pg.edge_mask[i]), n_all,
+            tile_nodes=tile_nodes, edges_per_tile=edges_per_tile,
+        )
+        ss.append(stcsr.senders)
+        sl.append(stcsr.recv_local)
+        sv.append(stcsr.valid)
     return ShardLayout(
-        jnp.asarray(np.stack(ts)), jnp.asarray(np.stack(tr)), jnp.asarray(np.stack(tv))
+        jnp.asarray(np.stack(ts)), jnp.asarray(np.stack(tr)),
+        jnp.asarray(np.stack(tv)),
+        jnp.asarray(np.stack(ss)), jnp.asarray(np.stack(sl)),
+        jnp.asarray(np.stack(sv)),
     )
 
 
@@ -203,10 +226,14 @@ def _sharded_amp_conv(
             fused_attention_aggregate,
         )
 
+        snd = {}
+        if len(layout) >= 6 and layout[3] is not None:
+            snd = dict(snd_receivers=layout[3], snd_local=layout[4],
+                       snd_valid=layout[5])
         total = fused_attention_aggregate(
             q_nodes, kv_all, layout[0], layout[1], layout[2],
             num_heads=num_heads, softmax=softmax, tile_nodes=tile_nodes,
-            interpret=interpret,
+            interpret=interpret, **snd,
         )
     else:
         q = q_nodes[receivers_local]
@@ -406,7 +433,7 @@ def make_partitioned_train_step(
         test_mask=P("graph"), node_norm=P("graph"), senders_global=P("graph"),
         receivers_local=P("graph"), edge_mask=P("graph"),
     )
-    lspec = ShardLayout(P("graph"), P("graph"), P("graph"))
+    lspec = ShardLayout(*(P("graph") for _ in ShardLayout._fields))
 
     def local_loss(params, pg: PartitionedGraph, key, layouts=None):
         shard = PartitionedGraph(*(leaf[0] for leaf in pg))  # strip shard axis
@@ -460,7 +487,7 @@ def make_dp_partitioned_train_step(
     replica)) as the step's 5th argument.
     """
     pspec = PartitionedGraph(*(P("data", "graph") for _ in range(9)))
-    lspec = ShardLayout(*(P("data", "graph") for _ in range(3)))
+    lspec = ShardLayout(*(P("data", "graph") for _ in ShardLayout._fields))
 
     def local_loss(params, pg: PartitionedGraph, key, layouts=None):
         shard = PartitionedGraph(*(leaf[0, 0] for leaf in pg))

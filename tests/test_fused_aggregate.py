@@ -73,3 +73,39 @@ def test_fused_aggregate_rejects_mismatched_tile_nodes(rng):
             jnp.asarray(tcsr.valid), num_heads=H, tile_nodes=256,
             interpret=True,
         )
+
+
+def test_fused_aggregate_scatterfree_grads(rng):
+    """Scatter-free backward for the partitioned building block: the
+    sender-tiled dK|dV pass runs over the GLOBAL (all-gathered) node
+    axis; grads must match the jnp reference (and thus the stream
+    backward)."""
+    n_loc, n_all = 8, 24
+    q, kv, senders, receivers, mask, tcsr = build(rng, n_loc=n_loc,
+                                                  n_all=n_all)
+    stcsr = build_tiled_csr(receivers, senders, mask, n_all,
+                            tile_nodes=4, group=4)
+    args = (jnp.asarray(tcsr.senders), jnp.asarray(tcsr.recv_local),
+            jnp.asarray(tcsr.valid))
+    snd = dict(
+        snd_receivers=jnp.asarray(stcsr.senders),
+        snd_local=jnp.asarray(stcsr.recv_local),
+        snd_valid=jnp.asarray(stcsr.valid),
+        snd_counts=jnp.asarray(stcsr.counts),
+    )
+
+    def loss_fused(q, kv):
+        out = fused_attention_aggregate(
+            q, kv, *args, num_heads=H, tile_nodes=4, interpret=True,
+            scatterfree=True, **snd)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_ref(q, kv):
+        return jnp.sum(jnp.sin(reference_sums(q, kv, senders, receivers, mask)))
+
+    gq_f, gkv_f = jax.grad(loss_fused, argnums=(0, 1))(q, kv)
+    gq_r, gkv_r = jax.grad(loss_ref, argnums=(0, 1))(q, kv)
+    np.testing.assert_allclose(np.asarray(gq_f), np.asarray(gq_r),
+                               rtol=3e-3, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gkv_f), np.asarray(gkv_r),
+                               rtol=3e-3, atol=3e-4)

@@ -194,7 +194,7 @@ def test_partitioned_forward_pallas_matches_xla(rng):
         from jax.experimental.shard_map import shard_map as shard_map_fn
 
     pspec = PartitionedGraph(*(P("graph") for _ in range(9)))
-    lspec = type(layouts)(P("graph"), P("graph"), P("graph"))
+    lspec = type(layouts)(*(P("graph") for _ in type(layouts)._fields))
     key = jax.random.PRNGKey(42)
 
     def local_fwd(params, pg_in, lay, key, use_pallas):
