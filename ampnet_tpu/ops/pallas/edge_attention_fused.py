@@ -81,12 +81,38 @@ _V6_VMEM_LIMIT = int(os.environ.get("AMPNET_V6_VMEM_LIMIT", 120 * 1024 * 1024))
 # block-diagonal DMA kernel (g=8, [G*SP, G*SP] scores with 1/G useful
 # work) for A/Bs.
 DMA_V1_DEFAULT = os.environ.get("AMPNET_DMA_V1", "0") == "1"
+# Direct VMEM loads for the Q side of the v4 dma body: the per-edge Q
+# rows live in the TILE's own VMEM block (q_ref is BlockSpec-pipelined),
+# so fetching them with async DMAs spends scalar-core issue slots on
+# copies a vector load can do in-body — and probe16 showed the dma path
+# is ISSUE-bound, not bandwidth-bound (bf16 streams with 2/3 the bytes
+# measured 1.10x SLOWER). Probe17 A/Bs direct loads (half the issue
+# count) against the double-buffered async Q.
+DMA_DIRECT_Q_DEFAULT = os.environ.get("AMPNET_DMA_DIRECT_Q", "1") == "1"
 
 # Scatter-free two-pass backward (edge_attention_bwd_scatterfree.py):
 # active when the layout carries the transposed sender-tiled arrays
 # (compute_layout(sender_layout=True)). AMPNET_SCATTERFREE_BWD=0 forces
 # the dK|dV-stream backward for A/Bs.
 SCATTERFREE_BWD_DEFAULT = os.environ.get("AMPNET_SCATTERFREE_BWD", "1") == "1"
+
+# bf16 per-edge streams: cast the PROJECTED q/kv (+ dsum) row arrays to
+# bfloat16 before the kernels, halving the per-edge gather traffic the
+# dma path is bound by at production scale (kernel_probe16 A/B). The
+# kernels are dtype-generic: scores take preferred_element_type=f32,
+# softmax runs in f32, and every accumulator/output stays f32 — only the
+# streamed rows round to bf16. Token rows pad to a 16-row stride (SP
+# 24 -> 32 at S=20) so bf16 (16, 128) VMEM tiling keeps the per-node row
+# slices aligned; net traffic is still 2/3 of f32-SP24. Opt-in (numerics
+# move by bf16 input rounding — see tests/test_pallas.py bf16-stream
+# tolerances).
+STREAM_BF16_DEFAULT = os.environ.get("AMPNET_STREAM_BF16", "0") == "1"
+
+
+def _stream_align(dtype, stream_bf16: bool) -> int:
+    """Sublane row-stride alignment for the [N*SP, D] row arrays: bf16
+    tiling is (16, 128), f32 is (8, 128)."""
+    return 16 if (stream_bf16 or dtype == jnp.bfloat16) else 8
 
 
 def _softmax_stack_bytes(group: int, sp: int, num_heads: int) -> int:
@@ -761,11 +787,18 @@ def _fused_kernel_vmem_v4(
     group: int,
     emax: int,
     softmax: bool,
+    direct_q: bool = True,
+    ablate: str = "",
 ):
     """v4 = v3 compact attention + DOUBLE-BUFFERED ASYNC gathers: the
-    per-edge K|V and Q row copies for group gi+1 run as async DMAs while
-    group gi computes, hiding the gather floor (r2 ablation: ~45% of v3
-    time) under the batched-dot attention."""
+    per-edge K|V row copies for group gi+1 run as async DMAs while group
+    gi computes, hiding the gather floor (r2 ablation: ~45% of v3 time)
+    under the batched-dot attention. The Q rows live in the tile's own
+    VMEM block, so with direct_q (default; probe17) they are plain
+    vector loads in-body — HALF the per-edge DMA issues, which is what
+    the dma path is bound by (probe16: bf16 streams with 2/3 the bytes
+    measured 1.10x slower, so issues, not bytes). direct_q=False keeps
+    the double-buffered async Q for A/Bs."""
     g = group
     dh = d // num_heads
     scale = 1.0 / (dh ** 0.5)
@@ -773,12 +806,14 @@ def _fused_kernel_vmem_v4(
     def edge_copies(gi, slot, j):
         idx = jnp.minimum(gi * g + j, emax - 1)
         ns = senders_ref[0, 0, idx]
-        r = recv_ref[0, 0, idx]
         kc = pltpu.make_async_copy(
             kv_ref.at[pl.ds(ns * sp, sp), :],
             kvbuf_ref.at[slot, pl.ds(j * sp, sp), :],
             ksems.at[slot, j],
         )
+        if direct_q:
+            return (kc,)
+        r = recv_ref[0, 0, idx]
         qc = pltpu.make_async_copy(
             q_ref.at[pl.ds(r * sp, sp), :],
             qbuf_ref.at[slot, pl.ds(j * sp, sp), :],
@@ -787,16 +822,18 @@ def _fused_kernel_vmem_v4(
         return kc, qc
 
     def start_group(gi, slot):
+        if "nodma" in ablate:
+            return
         for j in range(g):
-            kc, qc = edge_copies(gi, slot, j)
-            kc.start()
-            qc.start()
+            for c in edge_copies(gi, slot, j):
+                c.start()
 
     def wait_group(gi, slot):
+        if "nodma" in ablate:
+            return
         for j in range(g):
-            kc, qc = edge_copies(gi, slot, j)
-            kc.wait()
-            qc.wait()
+            for c in edge_copies(gi, slot, j):
+                c.wait()
 
     acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
     ng = ng_ref[0, pl.program_id(0)]
@@ -817,6 +854,12 @@ def _fused_kernel_vmem_v4(
             start_group(gi + 1, nxt)
 
         wait_group(gi, slot)
+        if direct_q and "noq" not in ablate:
+            for j in range(g):
+                idx = jnp.minimum(gi * g + j, emax - 1)
+                r = recv_ref[0, 0, idx]
+                qbuf_ref[slot, pl.ds(j * sp, sp), :] = (
+                    q_ref[pl.ds(r * sp, sp), :])
 
         kv3 = kvbuf_ref[slot].reshape(g, sp, 2 * d)
         q3 = qbuf_ref[slot].reshape(g, sp, d)
@@ -844,6 +887,9 @@ def _fused_kernel_vmem_v4(
             out_heads.append(oh)
         msg = jnp.concatenate(out_heads, axis=2).reshape(g * sp, d)
 
+        if "noacc" in ablate:  # timing ablation: one fixed-row RMW
+            acc_ref[pl.ds(0, sp), :] = acc_ref[pl.ds(0, sp), :] + msg[0:sp, :]
+            return 0
         for j in range(g):
             idx = jnp.minimum(gi * g + j, emax - 1)
             r = recv_ref[0, 0, idx]
@@ -1046,7 +1092,8 @@ def _fused_edge_sums_chunked(
     )(ncounts, senders, chunk_recv, valid, q_rows, kv_rows)
 
 
-def _fused_edge_sums_v2(*args, packed=None, stacked=None, lanes=None, **kw):
+def _fused_edge_sums_v2(*args, packed=None, stacked=None, lanes=None,
+                        direct_q=None, ablate=None, **kw):
     """Resolve the env-default body flags OUTSIDE the jit boundary: they
     are static args, and resolving a None default inside the traced
     function would let a flipped module default silently hit the stale
@@ -1057,13 +1104,19 @@ def _fused_edge_sums_v2(*args, packed=None, stacked=None, lanes=None, **kw):
         stacked = STACKED_SOFTMAX_DEFAULT
     if lanes is None:
         lanes = LANES_SOFTMAX_DEFAULT
+    if direct_q is None:
+        direct_q = DMA_DIRECT_Q_DEFAULT
+    if ablate is None:
+        # timing ablations ONLY (kernel_probe19): never parity-safe
+        ablate = os.environ.get("AMPNET_ABLATE", "")
     return _fused_edge_sums_v2_impl(
-        *args, packed=packed, stacked=stacked, lanes=lanes, **kw)
+        *args, packed=packed, stacked=stacked, lanes=lanes,
+        direct_q=direct_q, ablate=ablate, **kw)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret", "compact", "overlap", "packed", "stacked", "lanes", "gather"),
+    static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret", "compact", "overlap", "packed", "stacked", "lanes", "gather", "direct_q", "ablate"),
 )
 def _fused_edge_sums_v2_impl(
     q_rows: jnp.ndarray,         # [NT*SP, D]
@@ -1087,6 +1140,8 @@ def _fused_edge_sums_v2_impl(
     stacked: bool = False,
     lanes: bool = False,
     gather: str = "vmem",
+    direct_q: bool = True,
+    ablate: str = "",
 ):
     sp = q_rows.shape[0] // (num_tiles * tile_nodes)
     d = q_rows.shape[1]
@@ -1106,7 +1161,7 @@ def _fused_edge_sums_v2_impl(
         kernel = functools.partial(
             _fused_kernel_vmem_v4,
             s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
-            softmax=softmax,
+            softmax=softmax, direct_q=direct_q, ablate=ablate,
         )
         scratch = [
             pltpu.VMEM((tn * sp, d), jnp.float32),
@@ -1321,14 +1376,17 @@ def amp_edge_attention_pallas_core(
     gather: str = "auto",
     group: int = 0,
     interpret: bool = False,
+    stream_bf16: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Projection (XLA) -> fused kernel (Pallas) -> mean + out-proj (XLA)."""
+    if stream_bf16 is None:
+        stream_bf16 = STREAM_BF16_DEFAULT
     n, s, d = x.shape
     # pad tokens-per-node to a sublane-aligned row stride so the kernel's
     # dynamic HBM/VMEM slices meet Mosaic's (8/16, 128) tiling rules.
     # Padding BEFORE the projection costs 3x less copy traffic; pad rows
     # become b_qkv, which the kernel's masking nulls (see above).
-    align = 16 if x.dtype == jnp.bfloat16 else 8
+    align = _stream_align(x.dtype, stream_bf16)
     sp = -(-s // align) * align
     if sp != s:
         x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
@@ -1337,8 +1395,8 @@ def amp_edge_attention_pallas_core(
     # v2/dma kv_rows carry the PROMOTED dtype (bf16 x against f32 params
     # projects to f32), so size the resident-K|V estimate on that, not on
     # x.dtype alone
-    kv_itemsize = jnp.dtype(
-        jnp.result_type(x.dtype, params.w_qkv.dtype)).itemsize
+    kv_itemsize = (2 if stream_bf16 else jnp.dtype(
+        jnp.result_type(x.dtype, params.w_qkv.dtype)).itemsize)
     gather = _resolve_gather(gather, max(n, n_tiles_nodes) * sp, d,
                              kv_itemsize, tile_rows=tcsr.tile_nodes * sp)
 
@@ -1364,6 +1422,9 @@ def amp_edge_attention_pallas_core(
         pad = (n_tiles_nodes - n) * sp
         q_rows = jnp.pad(q_rows, ((0, pad), (0, 0)))
         kv_rows = jnp.pad(kv_rows, ((0, pad), (0, 0)))
+    if stream_bf16:
+        q_rows = q_rows.astype(jnp.bfloat16)
+        kv_rows = kv_rows.astype(jnp.bfloat16)
 
     if gather == "vmem" or not DMA_V1_DEFAULT:
         counts = (jnp.asarray(tcsr.counts) if tcsr.counts is not None
@@ -1420,6 +1481,9 @@ def amp_edge_attention_pallas(
     snd_counts: Optional[jnp.ndarray] = None,     # enables the scatter-
     snd_edge_slot: Optional[jnp.ndarray] = None,  # free backward (pass S)
     scatterfree: Optional[bool] = None,  # None = AMPNET_SCATTERFREE_BWD
+    stream_bf16: Optional[bool] = None,  # None = AMPNET_STREAM_BF16
+    direct_q: Optional[bool] = None,     # None = AMPNET_DMA_DIRECT_Q
+    group: int = 0,                      # 0 = _auto_group (fwd kernel only)
 ) -> jnp.ndarray:
     """Jittable fused edge attention with a DYNAMIC tiled-CSR layout.
 
@@ -1473,12 +1537,18 @@ def amp_edge_attention_pallas(
             snd_receivers[:, None, :], snd_local[:, None, :], sv[:, None, :],
             tile_nodes, t_s, emax_s, counts=scounts,
         )
-    align = 16 if x.dtype == jnp.bfloat16 else 8
+    if stream_bf16 is None:
+        stream_bf16 = STREAM_BF16_DEFAULT
+    if direct_q is None:
+        direct_q = DMA_DIRECT_Q_DEFAULT
+    align = _stream_align(x.dtype, stream_bf16)
     sp = -(-s // align) * align
     gather = _resolve_gather(
         gather, max(n, num_tiles * tile_nodes) * sp, d,
         # kv rows carry the PROMOTED projection dtype (bf16 x vs f32
-        # params -> f32) — size the resident estimate on that
+        # params -> f32) — size the resident estimate on that; bf16
+        # streams halve it
+        2 if stream_bf16 else
         jnp.dtype(jnp.result_type(x.dtype, params.w_qkv.dtype)).itemsize,
         tile_rows=tile_nodes * sp,
     )  # resolved ONCE so fwd and bwd agree
@@ -1487,7 +1557,8 @@ def amp_edge_attention_pallas(
     def fused(x, params):
         return _pallas_core_dynamic(
             x, params, tcsr_like, receivers, edge_mask, num_heads, softmax,
-            gather, interpret,
+            gather, interpret, stream_bf16=stream_bf16, direct_q=direct_q,
+            group=group,
         )
 
     def fwd(x, params):
@@ -1495,7 +1566,8 @@ def amp_edge_attention_pallas(
         # the forward-kernel recompute
         out, sums, count = _pallas_core_dynamic(
             x, params, tcsr_like, receivers, edge_mask, num_heads, softmax,
-            gather, interpret, return_parts=True,
+            gather, interpret, return_parts=True, stream_bf16=stream_bf16,
+            direct_q=direct_q, group=group,
         )
         return out, (x, params, sums, count)
 
@@ -1517,7 +1589,7 @@ def amp_edge_attention_pallas(
         return _pallas_bwd_dynamic(
             x_, params_, g, tcsr_like, receivers, edge_mask, num_heads,
             softmax, gather, interpret, sums=sums_, count=count_,
-            snd_tcsr=snd_tcsr,
+            snd_tcsr=snd_tcsr, stream_bf16=stream_bf16,
         )
 
     fused.defvjp(fwd, bwd_fused if fused_bwd else bwd_xla)
@@ -1527,6 +1599,7 @@ def amp_edge_attention_pallas(
 def _pallas_bwd_dynamic(
     x, params, gout, tcsr, receivers, edge_mask, num_heads, softmax,
     gather, interpret, sums=None, count=None, snd_tcsr=None,
+    stream_bf16=False,
 ):
     """Full backward: out-proj/mean grads (XLA) -> pass A kernel
     (recompute + dQ/dK/dV) -> sender segment-sum + projection grads (XLA).
@@ -1542,7 +1615,7 @@ def _pallas_bwd_dynamic(
     from ampnet_tpu.ops.segment import segment_sum
 
     n, s, d = x.shape
-    align = 16 if x.dtype == jnp.bfloat16 else 8
+    align = _stream_align(x.dtype, stream_bf16)
     sp = -(-s // align) * align
     qkv = x @ params.w_qkv + params.b_qkv
     if sp != s:
@@ -1554,6 +1627,11 @@ def _pallas_bwd_dynamic(
         pad = (nt - n) * sp
         q_rows = jnp.pad(q_rows, ((0, pad), (0, 0)))
         kv_rows = jnp.pad(kv_rows, ((0, pad), (0, 0)))
+    if stream_bf16:
+        # the dsum/qdm streams follow via the existing
+        # .astype(q_rows.dtype) casts at every kernel call below
+        q_rows = q_rows.astype(jnp.bfloat16)
+        kv_rows = kv_rows.astype(jnp.bfloat16)
 
     if count is None:
         count = segment_count(receivers, n, edge_mask)
@@ -1847,13 +1925,14 @@ def _structural_counts(tile_valid: jnp.ndarray) -> jnp.ndarray:
 
 def _pallas_core_dynamic(
     x, params, tcsr, receivers, edge_mask, num_heads, softmax, gather,
-    interpret, return_parts=False,
+    interpret, return_parts=False, stream_bf16=False, direct_q=None,
+    group=0,
 ):
     """Like amp_edge_attention_pallas_core but tcsr leaves are traced
     arrays already shaped [T, 1, EMAX]. return_parts=True also returns
     (sums, count) for custom-VJP residuals."""
     n, s, d = x.shape
-    align = 16 if x.dtype == jnp.bfloat16 else 8
+    align = _stream_align(x.dtype, stream_bf16)
     sp = -(-s // align) * align
     if sp != s:
         # pad BEFORE projecting: 3x less pad traffic than padding the
@@ -1862,7 +1941,8 @@ def _pallas_core_dynamic(
         # null pad V rows, and pad Q rows are sliced off after.
         x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
     n_tiles_nodes = tcsr.num_tiles * tcsr.tile_nodes
-    group = _auto_group(sp, tcsr.edges_per_tile, gather)
+    if not group:
+        group = _auto_group(sp, tcsr.edges_per_tile, gather)
 
     if (not return_parts
             and _v6_usable(n, n_tiles_nodes, sp, d, x.dtype,
@@ -1890,6 +1970,9 @@ def _pallas_core_dynamic(
         pad = (n_tiles_nodes - n) * sp
         q_rows = jnp.pad(q_rows, ((0, pad), (0, 0)))
         kv_rows = jnp.pad(kv_rows, ((0, pad), (0, 0)))
+    if stream_bf16:
+        q_rows = q_rows.astype(jnp.bfloat16)
+        kv_rows = kv_rows.astype(jnp.bfloat16)
     if gather == "vmem" or not DMA_V1_DEFAULT:
         counts = (tcsr.counts if tcsr.counts is not None
                   else _structural_counts(tcsr.valid))
@@ -1897,7 +1980,7 @@ def _pallas_core_dynamic(
             q_rows, kv_rows, tcsr.senders, tcsr.recv_local, tcsr.valid, counts,
             num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
             group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile,
-            s=s, gather=gather, interpret=interpret,
+            s=s, gather=gather, interpret=interpret, direct_q=direct_q,
         )
     else:
         sums = _fused_edge_sums(
