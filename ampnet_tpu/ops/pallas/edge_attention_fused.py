@@ -89,6 +89,21 @@ DMA_V1_DEFAULT = os.environ.get("AMPNET_DMA_V1", "0") == "1"
 # measured 1.10x SLOWER). Probe17 A/Bs direct loads (half the issue
 # count) against the double-buffered async Q.
 DMA_DIRECT_Q_DEFAULT = os.environ.get("AMPNET_DMA_DIRECT_Q", "1") == "1"
+# Scatter-as-matmul accumulate (v8 epilogue): buffer each tile's per-edge
+# messages token-major and segment-sum them with one-hot MXU dots instead
+# of the per-edge dynamic-row RMW loop — which probe19 (dma, 200k edges)
+# and probe20 (vmem/v6, Cora) both measured at ~HALF the kernel. sel is
+# exactly {0,1} (validity = select, mean = per-receiver row scale), so
+# only the f32 summation ORDER changes vs the loop.
+MM_SCATTER_DEFAULT = os.environ.get("AMPNET_MM_SCATTER", "0") == "1"
+# bf16 MXU operands for the per-edge attention dots: f32 matmuls on TPU
+# MXU run as multi-pass bf16 emulation, and the compact kernels' dots are
+# tiny ([SP, dh] x [dh, SP] per group per head) — casting JUST the dot
+# operands to bf16 (f32 accumulation via preferred_element_type, layouts
+# and softmax untouched) cuts the emulation passes. Numerics: products
+# round to bf16, matching XLA's DEFAULT matmul precision on TPU (the
+# parity oracles pin 'highest', so this is opt-in).
+MXU_BF16_DEFAULT = os.environ.get("AMPNET_MXU_BF16", "0") == "1"
 
 # Scatter-free two-pass backward (edge_attention_bwd_scatterfree.py):
 # active when the layout carries the transposed sender-tiled arrays
@@ -386,6 +401,16 @@ def _tile_attention_accumulate(
     invdeg_ref=None,  # SMEM [1, 1, TN] f32 — when given, each edge's
     # accumulate is pre-scaled by its receiver's 1/degree so acc holds the
     # segment MEAN (the v6 fused-epilogue path); degree-0 receivers carry 0
+    ablate: str = "",  # timing ablations ONLY (kernel_probe19/20)
+    mm_scatter: bool = False,  # scatter-as-matmul accumulate (v8): buffer
+    # messages token-major and segment-sum via one-hot MXU dots instead of
+    # per-edge dynamic-row RMWs (probe20: that loop is ~50% of the kernel)
+    msgT_ref=None,     # scratch VMEM [SP, EG, D] f32 (mm_scatter)
+    recv_eg_ref=None,  # VMEM [1, EG] int32 (mm_scatter)
+    valid_eg_ref=None,  # VMEM [1, EG] int32 (mm_scatter)
+    inv_col=None,      # [TN, 1, 1] f32 per-receiver 1/degree (mm_scatter
+    # form of invdeg_ref: applied as a row scale after the scatter dots)
+    mxu_bf16: bool = False,  # cast dot OPERANDS to bf16 (f32 accum)
 ):
     """Shared tile body: gather -> per-edge attention -> accumulate.
 
@@ -406,7 +431,8 @@ def _tile_attention_accumulate(
     dh = d // num_heads
     scale = 1.0 / (dh ** 0.5)
 
-    acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+    if not mm_scatter:  # the mm epilogue overwrites acc in full
+        acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
     if not compact:
         blk_row = jax.lax.broadcasted_iota(jnp.int32, (g * sp, g * sp), 0) // sp
@@ -424,20 +450,27 @@ def _tile_attention_accumulate(
             idx = jnp.minimum(gi * g + j, emax - 1)
             ns = senders_ref[0, 0, idx]
             r = recv_ref[0, 0, idx]
-            # clamped duplicate slots re-read a live edge; the guard
-            # zeroes them so they contribute nothing
-            dup = (gi * g + j) > idx
-            v = jnp.where(dup, 0, valid_ref[0, 0, idx]).astype(jnp.float32)
-            if invdeg_ref is not None:
-                # scalar x scalar: folds the mean normalization into the
-                # existing validity multiply at zero extra vector work
-                v = v * invdeg_ref[0, 0, r]
-            vals.append(v)
+            if not mm_scatter:
+                # clamped duplicate slots re-read a live edge; the guard
+                # zeroes them so they contribute nothing. (mm_scatter
+                # needs neither: validity/dup-zeroing fold into the
+                # one-hot sel, the mean into inv_col.)
+                dup = (gi * g + j) > idx
+                v = jnp.where(dup, 0,
+                              valid_ref[0, 0, idx]).astype(jnp.float32)
+                if invdeg_ref is not None:
+                    # scalar x scalar: folds the mean normalization into
+                    # the existing validity multiply at zero extra
+                    # vector work
+                    v = v * invdeg_ref[0, 0, r]
+                vals.append(v)
             rs.append(r)
-            kvbuf_ref[pl.ds(j * sp, sp), :] = kv_src[pl.ds(ns * sp, sp), :]
-            qbuf_ref[pl.ds(j * sp, sp), :] = q_src[pl.ds(r * sp, sp), :]
+            if "nogather" not in ablate:
+                kvbuf_ref[pl.ds(j * sp, sp), :] = kv_src[pl.ds(ns * sp, sp), :]
+                qbuf_ref[pl.ds(j * sp, sp), :] = q_src[pl.ds(r * sp, sp), :]
 
         dtype = qbuf_ref.dtype
+        mdt = jnp.bfloat16 if mxu_bf16 else dtype
         if compact and stacked:
             # HEAD-STACKED compact body: heads ride the BATCH axis of one
             # 3-D dot ([H*G, SP, dh] stacks are axis-0 concats of the same
@@ -523,8 +556,9 @@ def _tile_attention_accumulate(
             kmask = col_tok < s
             score_heads = []
             for h in range(num_heads):
-                qh = q3[:, :, h * dh : (h + 1) * dh] * jnp.asarray(scale, dtype)
-                kh = kv3[:, :, h * dh : (h + 1) * dh]
+                qh = (q3[:, :, h * dh : (h + 1) * dh]
+                      * jnp.asarray(scale, dtype)).astype(mdt)
+                kh = kv3[:, :, h * dh : (h + 1) * dh].astype(mdt)
                 score_heads.append(jax.lax.dot_general(
                     qh, kh, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
@@ -541,7 +575,8 @@ def _tile_attention_accumulate(
                     w = e / jnp.sum(e, axis=2, keepdims=True)
                     vh = kv3[:, :, d + h * dh : d + (h + 1) * dh]
                     oh = jax.lax.dot_general(
-                        w.astype(dtype), vh, (((2,), (1,)), ((0,), (0,))),
+                        w.astype(mdt), vh.astype(mdt),
+                        (((2,), (1,)), ((0,), (0,))),
                         preferred_element_type=jnp.float32,
                     )
                     out_heads.append(oh)
@@ -620,6 +655,21 @@ def _tile_attention_accumulate(
                 out_blocks.append(oh)
             msg = jnp.concatenate(out_blocks, axis=1)
 
+        if mm_scatter:
+            if "mmnotrans" in ablate:  # timing: store w/o the transpose
+                msgT_ref[:, pl.ds(gi * g, g), :] = jnp.broadcast_to(
+                    jnp.sum(msg.reshape(g, sp, d), axis=1)[None]
+                    .astype(msgT_ref.dtype), (sp, g, d))
+            elif "mmfixed" in ablate:  # timing: fixed-slot store
+                msgT_ref[:, pl.ds(0, g), :] = jnp.transpose(
+                    msg.reshape(g, sp, d).astype(msgT_ref.dtype), (1, 0, 2))
+            else:
+                msgT_ref[:, pl.ds(gi * g, g), :] = jnp.transpose(
+                    msg.reshape(g, sp, d).astype(msgT_ref.dtype), (1, 0, 2))
+            return 0
+        if "noacc" in ablate:  # timing ablation: one fixed-row RMW
+            acc_ref[pl.ds(0, sp), :] = acc_ref[pl.ds(0, sp), :] + msg[0:sp, :]
+            return 0
         for j in range(g):
             block = msg[j * sp : (j + 1) * sp, :] * vals[j]
             cur = acc_ref[pl.ds(rs[j] * sp, sp), :]
@@ -627,6 +677,15 @@ def _tile_attention_accumulate(
         return 0
 
     jax.lax.fori_loop(0, ng, body, 0)
+    if mm_scatter:
+        if "mmnoepi" in ablate:  # timing: skip the scatter dots
+            acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+            return
+        acc_ref[:] = _mm_scatter_epilogue(
+            msgT_ref, recv_eg_ref, valid_eg_ref, ng,
+            tn=acc_ref.shape[0] // sp, sp=sp, d=d, g=g,
+            ngmax=msgT_ref.shape[1] // g, inv_col=inv_col,
+        ).astype(acc_ref.dtype)
 
 
 def _fused_kernel_vmem_v2(
@@ -654,6 +713,8 @@ def _fused_kernel_vmem_v2(
     packed: bool = True,
     stacked: bool = False,
     lanes: bool = False,
+    ablate: str = "",
+    mxu_bf16: bool = False,
 ):
     """v2: per-edge attention + segment-SUM over projected q/kv inputs
     (see _tile_attention_accumulate for the tile-body contract)."""
@@ -662,7 +723,39 @@ def _fused_kernel_vmem_v2(
         q_ref, kv_ref, acc_ref, qbuf_ref, kvbuf_ref,
         s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
         softmax=softmax, compact=compact, packed=packed, stacked=stacked,
-        lanes=lanes,
+        lanes=lanes, ablate=ablate, mxu_bf16=mxu_bf16,
+    )
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _fused_kernel_vmem_v2_mm(
+    ng_ref,        # SMEM [1, T] int32 live edge-group counts
+    senders_ref,   # SMEM [1, 1, EMAX]
+    recv_ref,      # SMEM [1, 1, EMAX]
+    valid_ref,     # SMEM [1, 1, EMAX]
+    recv_eg_ref,   # VMEM [1, EG] int32 local receiver rows (EG-padded)
+    valid_eg_ref,  # VMEM [1, EG] int32 validity (EG-padded; may be RUNTIME)
+    q_ref,         # VMEM [TN*SP, D]
+    kv_ref,        # VMEM [N*SP, 2D] resident
+    out_ref,       # VMEM [TN*SP, D]
+    acc_ref,       # scratch VMEM [TN*SP, D] f32
+    qbuf_ref,      # scratch VMEM [G*SP, D]
+    kvbuf_ref,     # scratch VMEM [G*SP, 2D]
+    msgT_ref,      # scratch VMEM [SP, EG, D] f32
+    *,
+    s: int, sp: int, d: int, num_heads: int, group: int, emax: int,
+    softmax: bool, compact: bool = True, packed: bool = True,
+    stacked: bool = False, lanes: bool = False, mxu_bf16: bool = False,
+):
+    """v2 body with the scatter-as-matmul accumulate (v8 epilogue)."""
+    _tile_attention_accumulate(
+        ng_ref[0, pl.program_id(0)], senders_ref, recv_ref, valid_ref,
+        q_ref, kv_ref, acc_ref, qbuf_ref, kvbuf_ref,
+        s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
+        softmax=softmax, compact=compact, packed=packed, stacked=stacked,
+        lanes=lanes, mm_scatter=True, msgT_ref=msgT_ref,
+        recv_eg_ref=recv_eg_ref, valid_eg_ref=valid_eg_ref,
+        mxu_bf16=mxu_bf16,
     )
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
@@ -698,6 +791,8 @@ def _fused_kernel_vmem_v6(
     packed: bool = True,
     stacked: bool = False,
     lanes: bool = False,
+    ablate: str = "",
+    mxu_bf16: bool = False,
 ):
     """v6: the WHOLE layer in one kernel — QKV in-projection, per-edge
     attention, mean aggregation, and the output projection.
@@ -749,7 +844,8 @@ def _fused_kernel_vmem_v6(
         qscr_ref, kvscr_ref, acc_ref, qbuf_ref, kvbuf_ref,
         s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
         softmax=softmax, compact=compact, packed=packed, stacked=stacked,
-        lanes=lanes, invdeg_ref=invdeg_ref,
+        lanes=lanes, invdeg_ref=invdeg_ref, ablate=ablate,
+        mxu_bf16=mxu_bf16,
     )
 
     mean = acc_ref[:].astype(x_ref.dtype)
@@ -764,6 +860,83 @@ def _fused_kernel_vmem_v6(
         flag = (invdeg_ref[0, 0, j] > 0.0).astype(out_ref.dtype)
         blk = out_ref[pl.ds(j * sp, sp), :]
         out_ref[pl.ds(j * sp, sp), :] = blk + bout_ref[0:1, :] * flag
+
+
+def _fused_kernel_vmem_v6_mm(
+    ng_ref,        # SMEM [1, T] int32 live edge-group counts (all tiles)
+    senders_ref,   # SMEM [1, 1, EMAX]
+    recv_ref,      # SMEM [1, 1, EMAX]
+    valid_ref,     # SMEM [1, 1, EMAX]
+    recv_eg_ref,   # VMEM [1, EG] int32 local receiver rows (EG-padded)
+    valid_eg_ref,  # VMEM [1, EG] int32 validity (EG-padded; may be RUNTIME)
+    invdeg_ref,    # VMEM [1, TN] f32 1/degree per local node (0 if deg 0)
+    x_ref,         # VMEM [NT*SP, D] resident RAW token rows
+    wqkv_ref,      # VMEM [D, 3D]
+    bqkv_ref,      # VMEM [1, 3D]
+    wout_ref,      # VMEM [D, D]
+    bout_ref,      # VMEM [1, D]
+    out_ref,       # VMEM [TN*SP, D]
+    kvscr_ref,     # scratch VMEM [NT*SP, 2D] persistent projected K|V
+    qscr_ref,      # scratch VMEM [TN*SP, D]
+    acc_ref,       # scratch VMEM [TN*SP, D] f32
+    qbuf_ref,      # scratch VMEM [G*SP, D]
+    kvbuf_ref,     # scratch VMEM [G*SP, 2D]
+    msgT_ref,      # scratch VMEM [SP, EG, D] f32
+    *,
+    s: int, sp: int, d: int, num_heads: int, group: int, emax: int,
+    softmax: bool, tile_nodes: int, compact: bool = True,
+    packed: bool = False, stacked: bool = False, lanes: bool = False,
+    mxu_bf16: bool = False,
+):
+    """v6 whole-layer body with the scatter-as-matmul accumulate: the
+    mean folds in as a per-receiver row scale (inv_col) after the
+    scatter dots instead of per-edge scalar multiplies, and the
+    live-node bias epilogue is vectorized off the same inv column
+    (replacing v6's per-node bias RMW loop)."""
+    t = pl.program_id(0)
+    tn = tile_nodes
+    rows = tn * sp
+
+    @pl.when(t == 0)
+    def _project_kv():
+        def chunk(i, _):
+            xc = x_ref[pl.ds(i * rows, rows), :]
+            kv = jax.lax.dot_general(
+                xc, wqkv_ref[:, d:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bqkv_ref[0:1, d:]
+            kvscr_ref[pl.ds(i * rows, rows), :] = kv.astype(kvscr_ref.dtype)
+            return 0
+        jax.lax.fori_loop(0, pl.num_programs(0), chunk, 0)
+
+    xq = x_ref[pl.ds(t * rows, rows), :]
+    q = jax.lax.dot_general(
+        xq, wqkv_ref[:, :d], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[0:1, :d]
+    qscr_ref[:] = q.astype(qscr_ref.dtype)
+
+    # [1, TN] (row 0 of the 8-replicated block) -> [TN, 1, 1] column
+    inv_col = jnp.transpose(invdeg_ref[0, 0:1, :], (1, 0))[:, :, None]
+
+    _tile_attention_accumulate(
+        ng_ref[0, t], senders_ref, recv_ref, valid_ref,
+        qscr_ref, kvscr_ref, acc_ref, qbuf_ref, kvbuf_ref,
+        s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
+        softmax=softmax, compact=compact, packed=packed, stacked=stacked,
+        lanes=lanes, mm_scatter=True, msgT_ref=msgT_ref,
+        recv_eg_ref=recv_eg_ref, valid_eg_ref=valid_eg_ref,
+        inv_col=inv_col, mxu_bf16=mxu_bf16,
+    )
+
+    mean = acc_ref[:].astype(x_ref.dtype)
+    out = jax.lax.dot_general(
+        mean, wout_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    live = (inv_col > 0.0).astype(jnp.float32)          # [TN, 1, 1]
+    out3 = out.reshape(tn, sp, d) + bout_ref[0:1, :][None] * live
+    out_ref[:] = out3.reshape(rows, d).astype(out_ref.dtype)
 
 
 def _fused_kernel_vmem_v4(
@@ -902,6 +1075,151 @@ def _fused_kernel_vmem_v4(
 
     jax.lax.fori_loop(0, ng, body, 0)
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _rep8(arr2d):
+    """[T, EG] -> [T, 8, EG]: Mosaic requires VMEM block sublane dims
+    divisible by 8, so the per-tile id/validity row vectors ride in
+    8-replicated blocks (kernels read row 0)."""
+    t, eg = arr2d.shape
+    return jnp.broadcast_to(arr2d[:, None, :], (t, 8, eg))
+
+
+def _mm_scatter_epilogue(msgT_ref, recv_eg_ref, valid_eg_ref, ng, *,
+                         tn, sp, d, g, ngmax, inv_col=None):
+    """Scatter-as-matmul: per-edge messages were buffered token-major in
+    msgT_ref [SP, EG, D]; one exact {0,1} one-hot sel [TN, EG] built from
+    the tile's receiver ids turns the per-receiver segment-SUM into SP
+    [TN, EG] x [EG, D] MXU dots — replacing the per-edge dynamic-row
+    read-add-write loop that probe19/20 measured at ~half the kernel.
+    sel entries are exactly 0/1 (validity folds in as a select, the v6
+    mean as a per-receiver row scale after the dot), so the only numeric
+    change vs the loop is float summation ORDER. Returns [TN*SP, D] f32.
+    """
+    eg = ngmax * g
+
+    def zero_tail(gi, _):
+        # groups beyond the live trip count were never written — zero
+        # them so sel's 0 columns never multiply uninitialized VMEM
+        msgT_ref[:, pl.ds(gi * g, g), :] = jnp.zeros(
+            (sp, g, d), msgT_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(ng, ngmax, zero_tail, 0)
+
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (tn, eg), 0)
+    recv_row = recv_eg_ref[0, 0:1, :]
+    live = valid_eg_ref[0, 0:1, :] != 0
+    sel = jnp.where((iota_n == recv_row) & live, 1.0, 0.0)  # [TN, EG] f32
+    outs = []
+    for s_ in range(sp):
+        outs.append(jax.lax.dot_general(
+            sel, msgT_ref[s_], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))  # [TN, D]
+    acc = jnp.stack(outs, axis=1)  # [TN, SP, D]
+    if inv_col is not None:
+        acc = acc * inv_col
+    return acc.reshape(tn * sp, d)
+
+
+def _fused_kernel_dma_v8(
+    ng_ref,        # SMEM [1, T] int32 live edge-group counts
+    senders_ref,   # SMEM [1, 1, EMAX]
+    recv_ref,      # SMEM [1, 1, EMAX]
+    recv_eg_ref,   # VMEM [1, EG] int32 local receiver rows (EG-padded)
+    valid_eg_ref,  # VMEM [1, EG] int32 validity (EG-padded; may be RUNTIME)
+    q_ref,         # VMEM [TN*SP, D]
+    kv_ref,        # ANY [N*SP, 2D] — DMA per edge
+    out_ref,       # VMEM [TN*SP, D]
+    msgT_ref,      # scratch VMEM [SP, EG, D] f32 token-major message buffer
+    qbuf_ref,      # scratch VMEM [G*SP, D]
+    kvbuf_ref,     # scratch VMEM [2, G*SP, 2D]
+    ksems,         # DMA sems (2, G)
+    *,
+    s: int,
+    sp: int,
+    d: int,
+    num_heads: int,
+    group: int,
+    emax: int,
+    softmax: bool,
+):
+    """v8 = v4's double-buffered K|V DMA + direct Q loads, but the
+    accumulate is the scatter-as-matmul epilogue instead of per-edge
+    dynamic-row RMWs (probe19: that loop was 47% of the v4 forward)."""
+    g = group
+    dh = d // num_heads
+    scale = 1.0 / (dh ** 0.5)
+    ng = ng_ref[0, pl.program_id(0)]
+
+    def gather_dma(gi, slot, j):
+        idx = jnp.minimum(gi * g + j, emax - 1)
+        ns = senders_ref[0, 0, idx]
+        return pltpu.make_async_copy(
+            kv_ref.at[pl.ds(ns * sp, sp), :],
+            kvbuf_ref.at[slot, pl.ds(j * sp, sp), :],
+            ksems.at[slot, j],
+        )
+
+    @pl.when(ng > 0)
+    def _():
+        for j in range(g):
+            gather_dma(0, 0, j).start()
+
+    col_tok = jax.lax.broadcasted_iota(jnp.int32, (g, sp, sp), 2)
+    kmask = col_tok < s
+
+    def body(gi, _):
+        slot = jax.lax.rem(gi, 2)
+        nxt = jax.lax.rem(gi + 1, 2)
+
+        @pl.when(gi + 1 < ng)
+        def _():
+            for j in range(g):
+                gather_dma(gi + 1, nxt, j).start()
+
+        for j in range(g):
+            gather_dma(gi, slot, j).wait()
+        for j in range(g):
+            idx = jnp.minimum(gi * g + j, emax - 1)
+            r = recv_ref[0, 0, idx]
+            qbuf_ref[pl.ds(j * sp, sp), :] = q_ref[pl.ds(r * sp, sp), :]
+
+        kv3 = kvbuf_ref[slot].reshape(g, sp, 2 * d)
+        q3 = qbuf_ref[:].reshape(g, sp, d)
+        dtype = q3.dtype
+        out_heads = []
+        for h in range(num_heads):
+            qh = q3[:, :, h * dh : (h + 1) * dh] * jnp.asarray(scale, dtype)
+            kh = kv3[:, :, h * dh : (h + 1) * dh]
+            vh = kv3[:, :, d + h * dh : d + (h + 1) * dh]
+            scores = jax.lax.dot_general(
+                qh, kh, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            if softmax:
+                scores = jnp.where(kmask, scores, -jnp.inf)
+                m = jnp.max(scores, axis=2, keepdims=True)
+                e = jnp.exp(scores - m)
+                w = e / jnp.sum(e, axis=2, keepdims=True)
+            else:
+                w = jnp.where(kmask, scores, 0.0)
+            oh = jax.lax.dot_general(
+                w.astype(dtype), vh, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            out_heads.append(oh)
+        msg3 = jnp.concatenate(out_heads, axis=2)  # [G, SP, D] f32
+        msgT_ref[:, pl.ds(gi * g, g), :] = jnp.transpose(msg3, (1, 0, 2))
+        return 0
+
+    jax.lax.fori_loop(0, ng, body, 0)
+    tn_sp = out_ref.shape[0]
+    out_ref[:] = _mm_scatter_epilogue(
+        msgT_ref, recv_eg_ref, valid_eg_ref, ng,
+        tn=tn_sp // sp, sp=sp, d=d, g=g, ngmax=msgT_ref.shape[1] // g,
+    ).astype(out_ref.dtype)
 
 
 def _fused_kernel_chunked(
@@ -1109,6 +1427,10 @@ def _fused_edge_sums_v2(*args, packed=None, stacked=None, lanes=None,
     if ablate is None:
         # timing ablations ONLY (kernel_probe19): never parity-safe
         ablate = os.environ.get("AMPNET_ABLATE", "")
+    if kw.get("mm_scatter") is None:
+        kw["mm_scatter"] = MM_SCATTER_DEFAULT
+    if kw.get("mxu_bf16") is None:
+        kw["mxu_bf16"] = MXU_BF16_DEFAULT
     return _fused_edge_sums_v2_impl(
         *args, packed=packed, stacked=stacked, lanes=lanes,
         direct_q=direct_q, ablate=ablate, **kw)
@@ -1116,7 +1438,7 @@ def _fused_edge_sums_v2(*args, packed=None, stacked=None, lanes=None,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret", "compact", "overlap", "packed", "stacked", "lanes", "gather", "direct_q", "ablate"),
+    static_argnames=("num_heads", "softmax", "tile_nodes", "group", "num_tiles", "emax", "s", "interpret", "compact", "overlap", "packed", "stacked", "lanes", "gather", "direct_q", "ablate", "mm_scatter", "mxu_bf16"),
 )
 def _fused_edge_sums_v2_impl(
     q_rows: jnp.ndarray,         # [NT*SP, D]
@@ -1142,6 +1464,8 @@ def _fused_edge_sums_v2_impl(
     gather: str = "vmem",
     direct_q: bool = True,
     ablate: str = "",
+    mm_scatter: bool = False,
+    mxu_bf16: bool = False,
 ):
     sp = q_rows.shape[0] // (num_tiles * tile_nodes)
     d = q_rows.shape[1]
@@ -1149,6 +1473,105 @@ def _fused_edge_sums_v2_impl(
     ngroups = ((tile_counts.astype(jnp.int32) + group - 1) // group).reshape(
         1, num_tiles
     )
+    if gather == "dma" and mm_scatter:
+        # v8: scatter-as-matmul accumulate (probe19: the per-edge RMW
+        # loop is 47% of the v4 forward). The one-hot needs the receiver
+        # ids and validity as EG-padded VMEM vectors per tile.
+        ngmax = -(-emax // group)
+        eg = ngmax * group
+        recv_eg = _rep8(jnp.pad(
+            tile_recv.reshape(num_tiles, emax), ((0, 0), (0, eg - emax))))
+        valid_eg = _rep8(jnp.pad(
+            tile_valid.reshape(num_tiles, emax), ((0, 0), (0, eg - emax))))
+        kernel = functools.partial(
+            _fused_kernel_dma_v8,
+            s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
+            softmax=softmax,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, num_tiles), lambda t: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 8, eg), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, eg), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn * sp, d), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((tn * sp, d), lambda t: (t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((num_tiles * tn * sp, d),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((sp, eg, d), jnp.float32),          # msgT
+                pltpu.VMEM((group * sp, d), q_rows.dtype),     # qbuf
+                pltpu.VMEM((2, group * sp, 2 * d), kv_rows.dtype),
+                pltpu.SemaphoreType.DMA((2, group)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(ngroups, tile_senders, tile_recv, recv_eg, valid_eg,
+          q_rows, kv_rows)
+    if gather == "vmem" and mm_scatter:
+        ngmax = -(-emax // group)
+        eg = ngmax * group
+        recv_eg = _rep8(jnp.pad(
+            tile_recv.reshape(num_tiles, emax), ((0, 0), (0, eg - emax))))
+        valid_eg = _rep8(jnp.pad(
+            tile_valid.reshape(num_tiles, emax), ((0, 0), (0, eg - emax))))
+        kernel = functools.partial(
+            _fused_kernel_vmem_v2_mm,
+            s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
+            softmax=softmax, compact=compact, packed=packed,
+            stacked=stacked, lanes=lanes, mxu_bf16=mxu_bf16,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, num_tiles), lambda t: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 8, eg), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, eg), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn * sp, d), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((kv_rows.shape[0], 2 * d), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tn * sp, d), lambda t: (t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((num_tiles * tn * sp, d),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((tn * sp, d), jnp.float32),         # acc
+                pltpu.VMEM((group * sp, d), q_rows.dtype),     # qbuf
+                pltpu.VMEM((group * sp, 2 * d), kv_rows.dtype),
+                pltpu.VMEM((sp, eg, d), jnp.float32),          # msgT
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(ngroups, tile_senders, tile_recv, tile_valid, recv_eg, valid_eg,
+          q_rows, kv_rows)
     if gather == "dma":
         # dma-compact: the v4 overlap body gathers via async copies,
         # which read from ANY (HBM) exactly as from resident VMEM — so
@@ -1175,7 +1598,7 @@ def _fused_edge_sums_v2_impl(
             _fused_kernel_vmem_v2,
             s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
             softmax=softmax, compact=compact, packed=packed, stacked=stacked,
-            lanes=lanes,
+            lanes=lanes, ablate=ablate, mxu_bf16=mxu_bf16,
         )
         scratch = [
             pltpu.VMEM((tn * sp, d), jnp.float32),
@@ -1212,6 +1635,11 @@ def _fused_attention_out_v6(*args, packed=None, stacked=None, lanes=None, **kw):
         stacked = STACKED_SOFTMAX_DEFAULT
     if lanes is None:
         lanes = LANES_SOFTMAX_DEFAULT
+    kw.setdefault("ablate", os.environ.get("AMPNET_ABLATE", ""))
+    if kw.get("mm_scatter") is None:
+        kw["mm_scatter"] = MM_SCATTER_DEFAULT
+    if kw.get("mxu_bf16") is None:
+        kw["mxu_bf16"] = MXU_BF16_DEFAULT
     return _fused_attention_out_v6_impl(
         *args, packed=packed, stacked=stacked, lanes=lanes, **kw)
 
@@ -1220,7 +1648,8 @@ def _fused_attention_out_v6(*args, packed=None, stacked=None, lanes=None, **kw):
     jax.jit,
     static_argnames=("num_heads", "softmax", "tile_nodes", "group",
                      "num_tiles", "emax", "s", "interpret", "compact",
-                     "packed", "stacked", "lanes"),
+                     "packed", "stacked", "lanes", "ablate", "mm_scatter",
+                     "mxu_bf16"),
 )
 def _fused_attention_out_v6_impl(
     x_rows: jnp.ndarray,         # [NT*SP, D] raw token rows (pre-projection)
@@ -1246,6 +1675,9 @@ def _fused_attention_out_v6_impl(
     packed: bool = False,
     stacked: bool = False,
     lanes: bool = False,
+    ablate: str = "",
+    mm_scatter: bool = False,
+    mxu_bf16: bool = False,
 ):
     """Whole-layer fused op (v6 kernel): raw rows in, layer output rows out."""
     sp = x_rows.shape[0] // (num_tiles * tile_nodes)
@@ -1254,11 +1686,72 @@ def _fused_attention_out_v6_impl(
     ngroups = ((tile_counts.astype(jnp.int32) + group - 1) // group).reshape(
         1, num_tiles
     )
+    if mm_scatter:
+        ngmax = -(-emax // group)
+        eg = ngmax * group
+        recv_eg = _rep8(jnp.pad(
+            tile_recv.reshape(num_tiles, emax), ((0, 0), (0, eg - emax))))
+        valid_eg = _rep8(jnp.pad(
+            tile_valid.reshape(num_tiles, emax), ((0, 0), (0, eg - emax))))
+        invdeg_vm = _rep8(invdeg.reshape(num_tiles, tn))
+        kernel = functools.partial(
+            _fused_kernel_vmem_v6_mm,
+            s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
+            softmax=softmax, tile_nodes=tn, compact=compact, packed=packed,
+            stacked=stacked, lanes=lanes, mxu_bf16=mxu_bf16,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, num_tiles), lambda t: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, emax), lambda t: (t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 8, eg), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, eg), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, tn), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((x_rows.shape[0], d), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, 3 * d), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3 * d), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, d), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tn * sp, d), lambda t: (t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((num_tiles * tn * sp, d),
+                                           x_rows.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((num_tiles * tn * sp, 2 * d), x_rows.dtype),
+                pltpu.VMEM((tn * sp, d), x_rows.dtype),
+                pltpu.VMEM((tn * sp, d), jnp.float32),
+                pltpu.VMEM((group * sp, d), x_rows.dtype),
+                pltpu.VMEM((group * sp, 2 * d), x_rows.dtype),
+                pltpu.VMEM((sp, eg, d), jnp.float32),          # msgT
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_V6_VMEM_LIMIT,
+            ),
+            interpret=interpret,
+        )(ngroups, tile_senders, tile_recv, tile_valid, recv_eg, valid_eg,
+          invdeg_vm, x_rows, w_qkv, b_qkv, w_out, b_out)
     kernel = functools.partial(
         _fused_kernel_vmem_v6,
         s=s, sp=sp, d=d, num_heads=num_heads, group=group, emax=emax,
         softmax=softmax, tile_nodes=tn, compact=compact, packed=packed,
-        stacked=stacked, lanes=lanes,
+        stacked=stacked, lanes=lanes, ablate=ablate, mxu_bf16=mxu_bf16,
     )
     scratch = [
         pltpu.VMEM((num_tiles * tn * sp, 2 * d), x_rows.dtype),  # kvscr
@@ -1483,6 +1976,8 @@ def amp_edge_attention_pallas(
     scatterfree: Optional[bool] = None,  # None = AMPNET_SCATTERFREE_BWD
     stream_bf16: Optional[bool] = None,  # None = AMPNET_STREAM_BF16
     direct_q: Optional[bool] = None,     # None = AMPNET_DMA_DIRECT_Q
+    mm_scatter: Optional[bool] = None,   # None = AMPNET_MM_SCATTER
+    mxu_bf16: Optional[bool] = None,     # None = AMPNET_MXU_BF16
     group: int = 0,                      # 0 = _auto_group (fwd kernel only)
 ) -> jnp.ndarray:
     """Jittable fused edge attention with a DYNAMIC tiled-CSR layout.
@@ -1541,6 +2036,10 @@ def amp_edge_attention_pallas(
         stream_bf16 = STREAM_BF16_DEFAULT
     if direct_q is None:
         direct_q = DMA_DIRECT_Q_DEFAULT
+    if mm_scatter is None:
+        mm_scatter = MM_SCATTER_DEFAULT
+    if mxu_bf16 is None:
+        mxu_bf16 = MXU_BF16_DEFAULT
     align = _stream_align(x.dtype, stream_bf16)
     sp = -(-s // align) * align
     gather = _resolve_gather(
@@ -1558,7 +2057,7 @@ def amp_edge_attention_pallas(
         return _pallas_core_dynamic(
             x, params, tcsr_like, receivers, edge_mask, num_heads, softmax,
             gather, interpret, stream_bf16=stream_bf16, direct_q=direct_q,
-            group=group,
+            group=group, mm_scatter=mm_scatter, mxu_bf16=mxu_bf16,
         )
 
     def fwd(x, params):
@@ -1567,7 +2066,8 @@ def amp_edge_attention_pallas(
         out, sums, count = _pallas_core_dynamic(
             x, params, tcsr_like, receivers, edge_mask, num_heads, softmax,
             gather, interpret, return_parts=True, stream_bf16=stream_bf16,
-            direct_q=direct_q, group=group,
+            direct_q=direct_q, group=group, mm_scatter=mm_scatter,
+            mxu_bf16=mxu_bf16,
         )
         return out, (x, params, sums, count)
 
@@ -1855,7 +2355,8 @@ def _v6_usable(n: int, n_tiles_nodes: int, sp: int, d: int, dtype,
 
 def _v6_call(x, params, senders3, recv3, valid3, counts, receivers,
              edge_mask, *, num_heads, softmax, tile_nodes, group,
-             num_tiles, emax, s, interpret):
+             num_tiles, emax, s, interpret, mm_scatter=None,
+             mxu_bf16=None):
     """Shared v6 dispatch: pad raw rows to the tile grid, fold runtime
     degrees into invdeg tiles, cast params to the compute dtype, call the
     whole-layer kernel, and slice the output back to [N, S, D]."""
@@ -1876,7 +2377,7 @@ def _v6_call(x, params, senders3, recv3, valid3, counts, receivers,
         senders3, recv3, valid3, counts, invdeg,
         num_heads=num_heads, softmax=softmax, tile_nodes=tile_nodes,
         group=group, num_tiles=num_tiles, emax=emax, s=s,
-        interpret=interpret,
+        interpret=interpret, mm_scatter=mm_scatter, mxu_bf16=mxu_bf16,
     )
     return rows[: n * sp].reshape(n, sp, d)[:, :s, :]
 
@@ -1926,7 +2427,7 @@ def _structural_counts(tile_valid: jnp.ndarray) -> jnp.ndarray:
 def _pallas_core_dynamic(
     x, params, tcsr, receivers, edge_mask, num_heads, softmax, gather,
     interpret, return_parts=False, stream_bf16=False, direct_q=None,
-    group=0,
+    group=0, mm_scatter=None, mxu_bf16=None,
 ):
     """Like amp_edge_attention_pallas_core but tcsr leaves are traced
     arrays already shaped [T, 1, EMAX]. return_parts=True also returns
@@ -1960,7 +2461,7 @@ def _pallas_core_dynamic(
             receivers, edge_mask, num_heads=num_heads, softmax=softmax,
             tile_nodes=tcsr.tile_nodes, group=group,
             num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
-            interpret=interpret,
+            interpret=interpret, mm_scatter=mm_scatter, mxu_bf16=mxu_bf16,
         )
 
     qkv = x @ params.w_qkv + params.b_qkv
@@ -1981,6 +2482,7 @@ def _pallas_core_dynamic(
             num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
             group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile,
             s=s, gather=gather, interpret=interpret, direct_q=direct_q,
+            mm_scatter=mm_scatter, mxu_bf16=mxu_bf16,
         )
     else:
         sums = _fused_edge_sums(
