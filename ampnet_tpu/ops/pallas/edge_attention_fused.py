@@ -1979,6 +1979,7 @@ def amp_edge_attention_pallas(
     mm_scatter: Optional[bool] = None,   # None = AMPNET_MM_SCATTER
     mxu_bf16: Optional[bool] = None,     # None = AMPNET_MXU_BF16
     group: int = 0,                      # 0 = _auto_group (fwd kernel only)
+    compact: bool = True,                # False = legacy block-diag body
 ) -> jnp.ndarray:
     """Jittable fused edge attention with a DYNAMIC tiled-CSR layout.
 
@@ -2058,6 +2059,7 @@ def amp_edge_attention_pallas(
             x, params, tcsr_like, receivers, edge_mask, num_heads, softmax,
             gather, interpret, stream_bf16=stream_bf16, direct_q=direct_q,
             group=group, mm_scatter=mm_scatter, mxu_bf16=mxu_bf16,
+            compact=compact,
         )
 
     def fwd(x, params):
@@ -2067,7 +2069,7 @@ def amp_edge_attention_pallas(
             x, params, tcsr_like, receivers, edge_mask, num_heads, softmax,
             gather, interpret, return_parts=True, stream_bf16=stream_bf16,
             direct_q=direct_q, group=group, mm_scatter=mm_scatter,
-            mxu_bf16=mxu_bf16,
+            mxu_bf16=mxu_bf16, compact=compact,
         )
         return out, (x, params, sums, count)
 
@@ -2356,7 +2358,7 @@ def _v6_usable(n: int, n_tiles_nodes: int, sp: int, d: int, dtype,
 def _v6_call(x, params, senders3, recv3, valid3, counts, receivers,
              edge_mask, *, num_heads, softmax, tile_nodes, group,
              num_tiles, emax, s, interpret, mm_scatter=None,
-             mxu_bf16=None):
+             mxu_bf16=None, compact=True):
     """Shared v6 dispatch: pad raw rows to the tile grid, fold runtime
     degrees into invdeg tiles, cast params to the compute dtype, call the
     whole-layer kernel, and slice the output back to [N, S, D]."""
@@ -2378,6 +2380,7 @@ def _v6_call(x, params, senders3, recv3, valid3, counts, receivers,
         num_heads=num_heads, softmax=softmax, tile_nodes=tile_nodes,
         group=group, num_tiles=num_tiles, emax=emax, s=s,
         interpret=interpret, mm_scatter=mm_scatter, mxu_bf16=mxu_bf16,
+        compact=compact,
     )
     return rows[: n * sp].reshape(n, sp, d)[:, :s, :]
 
@@ -2427,7 +2430,7 @@ def _structural_counts(tile_valid: jnp.ndarray) -> jnp.ndarray:
 def _pallas_core_dynamic(
     x, params, tcsr, receivers, edge_mask, num_heads, softmax, gather,
     interpret, return_parts=False, stream_bf16=False, direct_q=None,
-    group=0, mm_scatter=None, mxu_bf16=None,
+    group=0, mm_scatter=None, mxu_bf16=None, compact=True,
 ):
     """Like amp_edge_attention_pallas_core but tcsr leaves are traced
     arrays already shaped [T, 1, EMAX]. return_parts=True also returns
@@ -2462,6 +2465,7 @@ def _pallas_core_dynamic(
             tile_nodes=tcsr.tile_nodes, group=group,
             num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile, s=s,
             interpret=interpret, mm_scatter=mm_scatter, mxu_bf16=mxu_bf16,
+            compact=compact,
         )
 
     qkv = x @ params.w_qkv + params.b_qkv
@@ -2482,7 +2486,7 @@ def _pallas_core_dynamic(
             num_heads=num_heads, softmax=softmax, tile_nodes=tcsr.tile_nodes,
             group=group, num_tiles=tcsr.num_tiles, emax=tcsr.edges_per_tile,
             s=s, gather=gather, interpret=interpret, direct_q=direct_q,
-            mm_scatter=mm_scatter, mxu_bf16=mxu_bf16,
+            mm_scatter=mm_scatter, mxu_bf16=mxu_bf16, compact=compact,
         )
     else:
         sums = _fused_edge_sums(
