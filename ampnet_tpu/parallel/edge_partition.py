@@ -8,12 +8,21 @@ graphs that outgrow one chip:
     axis (global id = shard * N_loc + local id);
   * each edge lives on the shard that OWNS ITS RECEIVER, so mean
     aggregation is entirely local (a streaming segment reduction);
-  * the halo/boundary exchange is an all-gather of the K/V-projected
-    node tokens over ICI; gathering K/V *after* projection, not raw
-    features, keeps traffic at N*S*D per conv and lets XLA overlap the
-    collective with the local QKV matmuls;
-  * reverse-mode AD through shard_map turns the all-gather into a
-    reduce-scatter of boundary-token gradients automatically — no
+  * the halo/boundary exchange moves K/V-projected node tokens over
+    ICI — gathering K/V *after* projection, not raw features, keeps
+    traffic proportional to D (not F) and lets XLA overlap the
+    collective with the local QKV matmuls. Two exchange strategies:
+      - all-gather (small graphs): every shard materializes all N_tot
+        projected rows; per-chip memory O(N_tot);
+      - boundary-only halo (build_halo_plan, the scale-out default,
+        SURVEY §2.6 north star): each shard-pair exchanges ONLY the
+        sender rows the destination's edges actually reference, via one
+        all_to_all of a host-precomputed [P, H] index plan; per-chip
+        memory O(N_loc + cut) — graphs whose projected K/V exceed one
+        chip's HBM remain shardable;
+  * reverse-mode AD through shard_map turns the collective into its
+    transpose automatically (all-gather -> reduce-scatter; all_to_all
+    -> reverse all_to_all + scatter-add of boundary-token grads) — no
     hand-written comm.
 
 The local forward mirrors models/amp_gcn.py math parameter-for-parameter
@@ -114,6 +123,105 @@ def partition_graph(g: Graph, n_shards: int) -> PartitionedGraph:
     )
 
 
+class HaloPlan(NamedTuple):
+    """Host-precomputed boundary-exchange plan (leaves stacked on a
+    leading shard axis, sharded over 'graph' like PartitionedGraph).
+
+    For each ordered shard pair (src p -> dst q), the rows of p that q's
+    edges actually reference are enumerated once (sorted unique), padded
+    to a common static width H = halo_width. One lax.all_to_all of the
+    gathered [P, H, ...] buffer then delivers exactly those rows; the
+    receiver indexes them through `senders_ext`, which remaps every
+    edge's global sender id into the [N_loc + P*H) local+halo space.
+    Per-chip memory/traffic is O(N_loc + P*H) = O(N_loc + cut), not
+    O(N_tot) — the SURVEY §2.6 boundary-exchange contract.
+    """
+
+    send_idx: jnp.ndarray     # [P, P, H] int32 — [src, dst, slot]: local
+                              # rows src sends to dst (0-padded; padded
+                              # slots are never referenced by receivers)
+    senders_ext: jnp.ndarray  # [P, E_loc] int32 — sender index into the
+                              # shard's [N_loc + P*H) local+halo space
+    pair_counts: jnp.ndarray  # [P, P] int32 — [dst, src]: TRUE (unpadded)
+                              # halo sizes; device-unused, kept for comm
+                              # accounting and tests
+
+    @property
+    def halo_width(self) -> int:
+        return self.send_idx.shape[-1]
+
+
+def build_halo_plan(pg: PartitionedGraph, pad_to: int = 8) -> HaloPlan:
+    """Host-side: enumerate, per ordered shard pair, the boundary rows the
+    destination's edges reference (from senders_global), pad to a common
+    static width, and remap senders into the local+halo index space."""
+    p_shards = pg.num_shards
+    n_loc = pg.x.shape[1]
+    sg = np.asarray(pg.senders_global)
+    em = np.asarray(pg.edge_mask)
+
+    needed = [[np.zeros(0, np.int64)] * p_shards for _ in range(p_shards)]
+    h = 1
+    for q in range(p_shards):
+        s_q = sg[q][em[q]]
+        owners = s_q // n_loc
+        for p in range(p_shards):
+            if p == q:
+                continue
+            rows = np.unique(s_q[owners == p] % n_loc)
+            needed[q][p] = rows
+            h = max(h, int(rows.size))
+    h = -(-h // pad_to) * pad_to
+
+    send_idx = np.zeros((p_shards, p_shards, h), np.int32)
+    pair_counts = np.zeros((p_shards, p_shards), np.int32)
+    for q in range(p_shards):
+        for p in range(p_shards):
+            rows = needed[q][p]
+            send_idx[p, q, : rows.size] = rows
+            pair_counts[q, p] = rows.size
+
+    senders_ext = np.zeros_like(sg)
+    for q in range(p_shards):
+        s_q = sg[q]
+        owners = s_q // n_loc
+        loc = s_q % n_loc
+        ext = np.where(owners == q, loc, 0).astype(np.int32)
+        for p in range(p_shards):
+            if p == q:
+                continue
+            sel = em[q] & (owners == p)
+            if sel.any():
+                # needed[q][p] is sorted unique -> searchsorted gives the
+                # halo slot of each referenced row exactly
+                pos = np.searchsorted(needed[q][p], loc[sel])
+                ext[sel] = (n_loc + p * h + pos).astype(np.int32)
+        senders_ext[q] = ext
+
+    return HaloPlan(
+        send_idx=jnp.asarray(send_idx),
+        senders_ext=jnp.asarray(senders_ext),
+        pair_counts=jnp.asarray(pair_counts),
+    )
+
+
+def halo_exchange(
+    x_local: jnp.ndarray,        # [N_loc, ...]
+    send_idx_local: jnp.ndarray, # [P, H] — this shard's rows per destination
+    axis: str = "graph",
+) -> jnp.ndarray:
+    """Boundary-only exchange: gather my rows per destination, one
+    all_to_all over `axis`, concatenate received halo rows after the
+    local block -> [N_loc + P*H, ...]. AD reverses the route (reverse
+    all_to_all, then scatter-add into the local rows via the gather's
+    transpose) — gradients for boundary tokens flow back to their owner
+    with the same O(cut) traffic as the forward."""
+    buf = jnp.take(x_local, send_idx_local, axis=0)            # [P, H, ...]
+    halo = jax.lax.all_to_all(buf, axis, split_axis=0, concat_axis=0)
+    halo = halo.reshape((-1,) + x_local.shape[1:])             # [P*H, ...]
+    return jnp.concatenate([x_local, halo], axis=0)
+
+
 class ShardLayout(NamedTuple):
     """Per-shard tiled-CSR layouts (leaves stacked on a leading shard
     axis) for running the fused Pallas kernel inside the edge-partitioned
@@ -134,25 +242,37 @@ def partition_layouts(
     pg: PartitionedGraph,
     tile_nodes: int = DEFAULT_TILE_NODES,
     edges_per_tile: int = 0,
+    halo_plan: Optional[HaloPlan] = None,
 ) -> ShardLayout:
     """Host-side: build each shard's tiled CSR from its
     (senders_global, receivers_local) edge list, plus the transposed
-    (global-sender-tiled) layout for the scatter-free backward. A fixed
+    (sender-tiled) layout for the scatter-free backward. A fixed
     edges_per_tile keeps one static shape across shards (it serves both
-    bucketings; the builder raises on overflow)."""
+    bucketings; the builder raises on overflow).
+
+    With halo_plan, the gather column indexes the [N_loc + P*H)
+    local+halo space (plan.senders_ext) instead of [N_tot) — the fused
+    kernel then runs against the boundary-exchanged K/V buffer and its
+    scatter-free backward tiles the compact halo axis, not the full
+    gathered node axis."""
     from ampnet_tpu.ops.pallas.format import build_tiled_csr
 
     p = pg.num_shards
     n_loc = pg.x.shape[1]
-    n_all = p * n_loc
+    if halo_plan is not None:
+        n_all = n_loc + p * halo_plan.halo_width
+        senders_arr = np.asarray(halo_plan.senders_ext)
+    else:
+        n_all = p * n_loc
+        senders_arr = np.asarray(pg.senders_global)
     if not edges_per_tile:
         # common budget = max per-shard need over BOTH bucketings
-        # (receiver-local tiles and global-sender tiles), SMEM-aligned
+        # (receiver-local tiles and sender tiles), SMEM-aligned
         need = 0
         for i in range(p):
             em = np.asarray(pg.edge_mask[i])
             r = np.asarray(pg.receivers_local[i])[em]
-            sg = np.asarray(pg.senders_global[i])[em]
+            sg = senders_arr[i][em]
             if r.size:
                 counts = np.bincount(r // tile_nodes, minlength=-(-n_loc // tile_nodes))
                 scounts = np.bincount(sg // tile_nodes, minlength=-(-n_all // tile_nodes))
@@ -162,7 +282,7 @@ def partition_layouts(
     ss, sl, sv = [], [], []
     for i in range(p):
         tcsr = build_tiled_csr(
-            np.asarray(pg.senders_global[i]), np.asarray(pg.receivers_local[i]),
+            senders_arr[i], np.asarray(pg.receivers_local[i]),
             np.asarray(pg.edge_mask[i]), n_loc,
             tile_nodes=tile_nodes, edges_per_tile=edges_per_tile,
         )
@@ -170,7 +290,7 @@ def partition_layouts(
         tr.append(tcsr.recv_local)
         tv.append(tcsr.valid)
         stcsr = build_tiled_csr(
-            np.asarray(pg.receivers_local[i]), np.asarray(pg.senders_global[i]),
+            np.asarray(pg.receivers_local[i]), senders_arr[i],
             np.asarray(pg.edge_mask[i]), n_all,
             tile_nodes=tile_nodes, edges_per_tile=edges_per_tile,
         )
@@ -206,19 +326,32 @@ def _sharded_amp_conv(
     layout=None,                   # (tile_senders, tile_recv, tile_valid) [T, EMAX]
     tile_nodes: int = DEFAULT_TILE_NODES,
     interpret: bool = False,
+    halo=None,                     # (send_idx [P, H], senders_ext [E_loc])
 ) -> jnp.ndarray:
-    """One AMPConv with all-gather halo exchange over `axis`.
+    """One AMPConv with boundary exchange over `axis`.
+
+    halo=None: all-gather of all projected K/V rows (per-chip O(N_tot) —
+    the small-graph fast path). halo=(send_idx, senders_ext): boundary-
+    only all_to_all per build_halo_plan (per-chip O(N_loc + cut)); the
+    edge gather column and any fused layout must index the local+halo
+    space (partition_layouts(halo_plan=...)).
 
     With `layout` set, the local attention+aggregation runs in the fused
     Pallas kernel (ops.pallas.fused_attention_aggregate); AD through the
-    all-gather still produces the reduce-scatter of boundary-token grads.
+    collective still produces the boundary-token gradient exchange
+    (reduce-scatter, or reverse all_to_all + owner scatter-add).
     """
     n_loc, s, d = tokens_local.shape
     qkv = tokens_local @ params.w_qkv + params.b_qkv
     q_nodes = qkv[..., :d]
     kv_local = qkv[..., d:]                       # [N_loc, S, 2D] packed k|v
-    # halo exchange: projected K/V for every node, concatenated shard-major
-    kv_all = jax.lax.all_gather(kv_local, axis, axis=0, tiled=True)  # [N_tot, S, 2D]
+    if halo is not None:
+        send_idx, senders_ref = halo
+        kv_all = halo_exchange(kv_local, send_idx, axis)  # [N_loc+P*H, S, 2D]
+    else:
+        senders_ref = senders_global
+        # projected K/V for every node, concatenated shard-major
+        kv_all = jax.lax.all_gather(kv_local, axis, axis=0, tiled=True)  # [N_tot, S, 2D]
 
     count = segment_count(receivers_local, n_loc, edge_mask)
     if layout is not None:
@@ -237,7 +370,7 @@ def _sharded_amp_conv(
         )
     else:
         q = q_nodes[receivers_local]
-        kv_e = kv_all[senders_global]
+        kv_e = kv_all[senders_ref]
         k, v = kv_e[..., :d], kv_e[..., d:]
         msg, _ = attention_core(q, k, v, num_heads, softmax=softmax)
         total = segment_sum(msg, receivers_local, n_loc, edge_mask)
@@ -255,22 +388,29 @@ def _sharded_gcn_conv(
     receivers_local: jnp.ndarray,  # [E_loc]
     edge_mask: jnp.ndarray,        # [E_loc]
     axis: str = "graph",
+    halo=None,                     # (send_idx [P, H], senders_ext [E_loc])
 ) -> jnp.ndarray:
     """One Kipf-Welling GCN hop on a receiver-owned edge partition:
-    transform locally (F->D BEFORE the halo exchange — D << F), all-gather
-    the transformed rows + the degree vector, weighted segment-sum with
+    transform locally (F->D BEFORE the boundary exchange — D << F),
+    exchange the transformed rows + the degree vector (all-gather, or
+    boundary-only halo when `halo` is set), weighted segment-sum with
     the symmetric D^-1/2(A+I)D^-1/2 normalization (ops/gcn.py::gcn_norm
     semantics: in-degrees counted with self-loops; every local row gets a
     self-loop, like the single-device path appends loops for all rows)."""
     n_loc = x_local.shape[0]
     h_local = x_local @ kernel
-    h_all = jax.lax.all_gather(h_local, axis, axis=0, tiled=True)
     deg_local = segment_count(receivers_local, n_loc, edge_mask) + 1.0
-    deg_all = jax.lax.all_gather(deg_local, axis, axis=0, tiled=True)
     dinv_local = 1.0 / jnp.sqrt(deg_local)
-    dinv_all = 1.0 / jnp.sqrt(deg_all)
-    w = dinv_all[senders_global] * dinv_local[receivers_local]
-    msgs = h_all[senders_global] * w[:, None]
+    if halo is not None:
+        send_idx, senders_ref = halo
+        h_all = halo_exchange(h_local, send_idx, axis)
+        dinv_all = halo_exchange(dinv_local, send_idx, axis)
+    else:
+        senders_ref = senders_global
+        h_all = jax.lax.all_gather(h_local, axis, axis=0, tiled=True)
+        dinv_all = jax.lax.all_gather(dinv_local, axis, axis=0, tiled=True)
+    w = dinv_all[senders_ref] * dinv_local[receivers_local]
+    msgs = h_all[senders_ref] * w[:, None]
     agg = segment_sum(msgs, receivers_local, n_loc, edge_mask)
     agg = agg + h_local * (dinv_local ** 2)[:, None]   # self-loop term
     return agg + bias
@@ -286,9 +426,11 @@ def amp_gcn_forward_local(
     tile_nodes: int = DEFAULT_TILE_NODES,
     interpret: bool = False,
     scaler_stats=None,         # (mean, std) for cfg.scaler='precomputed'
+    halo=None,                 # per-shard (send_idx [P, H], senders_ext)
 ) -> jnp.ndarray:
     """Per-shard AMPGCN forward (deterministic path: dropouts off), with
-    halo-exchanged convs. Mirrors models/amp_gcn.py / reference
+    boundary-exchanged convs (all-gather, or halo-only when `halo` is
+    set — build_halo_plan). Mirrors models/amp_gcn.py / reference
     amp_gcn.py:239-276, honoring the frontend config the checkpoint was
     trained with: cfg.scaler ('batch' = global z-scoring via psum,
     'precomputed' = dataset-level stats) and cfg.token_sampling
@@ -338,13 +480,13 @@ def amp_gcn_forward_local(
     h = _sharded_amp_conv(
         tokens, shard.senders_global, shard.receivers_local, shard.edge_mask,
         _mha_params(params["conv1"]), cfg.num_heads, cfg.attn_softmax, axis,
-        layout=layout, tile_nodes=tile_nodes, interpret=interpret,
+        layout=layout, tile_nodes=tile_nodes, interpret=interpret, halo=halo,
     )
     h = jax.nn.relu(h)
     h = _sharded_amp_conv(
         h, shard.senders_global, shard.receivers_local, shard.edge_mask,
         _mha_params(params["conv2"]), cfg.num_heads, cfg.attn_softmax, axis,
-        layout=layout, tile_nodes=tile_nodes, interpret=interpret,
+        layout=layout, tile_nodes=tile_nodes, interpret=interpret, halo=halo,
     )
     h = jax.nn.relu(h)
     pooled = jnp.mean(h, axis=1)
@@ -362,13 +504,13 @@ def amp_gcn_forward_local(
             xr = jax.nn.relu(_sharded_gcn_conv(
                 x_norm, p["Dense_0"]["kernel"], p["bias"],
                 shard.senders_global, shard.receivers_local,
-                shard.edge_mask, axis))
+                shard.edge_mask, axis, halo=halo))
             if mode == "gcn2":
                 p = params["raw_residual_conv2"]
                 xr = jax.nn.relu(_sharded_gcn_conv(
                     xr, p["Dense_0"]["kernel"], p["bias"],
                     shard.senders_global, shard.receivers_local,
-                    shard.edge_mask, axis))
+                    shard.edge_mask, axis, halo=halo))
         else:
             raise ValueError(f"unknown raw_residual mode: {mode!r}")
         pooled = jnp.concatenate([pooled, xr], axis=-1)
@@ -422,11 +564,17 @@ def make_partitioned_train_step(
     tile_nodes: int = DEFAULT_TILE_NODES,
     interpret: bool = False,
     scaler_stats=None,   # (mean, std) for cfg.scaler='precomputed'
+    use_halo: bool = False,
 ):
     """Jitted edge-partitioned training step over the 'graph' mesh axis.
 
     use_pallas=True runs each shard's convs in the fused kernel; pass the
-    per-shard layouts (partition_layouts) as the step's 4th argument."""
+    per-shard layouts (partition_layouts) as the step's 4th argument.
+    use_halo=True switches the K/V exchange from all-gather to the
+    boundary-only all_to_all; pass the HaloPlan (build_halo_plan) as the
+    next positional argument after the layouts (or 4th if no layouts) —
+    layouts must then be built with the same plan
+    (partition_layouts(halo_plan=...))."""
 
     pspec = PartitionedGraph(
         x=P("graph"), y=P("graph"), node_mask=P("graph"), train_mask=P("graph"),
@@ -434,15 +582,21 @@ def make_partitioned_train_step(
         receivers_local=P("graph"), edge_mask=P("graph"),
     )
     lspec = ShardLayout(*(P("graph") for _ in ShardLayout._fields))
+    hspec = HaloPlan(*(P("graph") for _ in HaloPlan._fields))
 
-    def local_loss(params, pg: PartitionedGraph, key, layouts=None):
+    def local_loss(params, pg: PartitionedGraph, key, *extra):
         shard = PartitionedGraph(*(leaf[0] for leaf in pg))  # strip shard axis
         my_key = jax.random.fold_in(key, jax.lax.axis_index("graph"))
-        layout = None if layouts is None else tuple(l[0] for l in layouts)
+        rest = list(extra)
+        layout = tuple(l[0] for l in rest.pop(0)) if use_pallas else None
+        halo = None
+        if use_halo:
+            plan = rest.pop(0)
+            halo = (plan.send_idx[0], plan.senders_ext[0])
         logp = amp_gcn_forward_local(
             params, shard, cfg, my_key,
             layout=layout, tile_nodes=tile_nodes, interpret=interpret,
-            scaler_stats=scaler_stats,
+            scaler_stats=scaler_stats, halo=halo,
         )
         m = (shard.train_mask & shard.node_mask).astype(logp.dtype)
         nll = -jnp.take_along_axis(logp, shard.y[:, None].astype(jnp.int32), axis=1)[:, 0]
@@ -453,8 +607,11 @@ def make_partitioned_train_step(
         n = jax.lax.psum(jnp.sum(m), "graph")
         return loss, correct / jnp.maximum(n, 1.0)
 
-    in_specs = ((P(), pspec, P(), lspec) if use_pallas
-                else (P(), pspec, P()))
+    in_specs = (P(), pspec, P())
+    if use_pallas:
+        in_specs = in_specs + (lspec,)
+    if use_halo:
+        in_specs = in_specs + (hspec,)
     sharded_loss = shard_map(
         local_loss, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
         check_vma=False,
@@ -471,34 +628,43 @@ def make_dp_partitioned_train_step(
     tile_nodes: int = DEFAULT_TILE_NODES,
     interpret: bool = False,
     scaler_stats=None,   # (mean, std) for cfg.scaler='precomputed'
+    use_halo: bool = False,
 ):
     """Combined data-parallel x graph-partitioned training step.
 
     PartitionedGraph leaves carry TWO leading shard axes [data, graph, ...]:
     each 'data' replica trains on its own (GraphSAINT) subgraph, itself
-    edge-partitioned over 'graph' with halo exchange. Losses are summed
-    per replica over 'graph' then averaged over 'data'; gradient
+    edge-partitioned over 'graph' with boundary exchange. Losses are
+    summed per replica over 'graph' then averaged over 'data'; gradient
     all-reduce over both axes is inserted by shard_map's transpose of the
     replicated params.
 
     use_pallas=True runs every shard's convs through the fused kernel;
     pass per-replica-per-shard layouts (ShardLayout leaves stacked
     [data, graph, ...], e.g. stack_layouts(partition_layouts(...) per
-    replica)) as the step's 5th argument.
-    """
+    replica)) as the step's 5th argument. use_halo=True additionally
+    takes the stacked HaloPlan (stack_halos) as the next argument, and
+    per-replica plans must share one halo width (build with a common
+    pad_to or pad to the max)."""
     pspec = PartitionedGraph(*(P("data", "graph") for _ in range(9)))
     lspec = ShardLayout(*(P("data", "graph") for _ in ShardLayout._fields))
+    hspec = HaloPlan(*(P("data", "graph") for _ in HaloPlan._fields))
 
-    def local_loss(params, pg: PartitionedGraph, key, layouts=None):
+    def local_loss(params, pg: PartitionedGraph, key, *extra):
         shard = PartitionedGraph(*(leaf[0, 0] for leaf in pg))
-        layout = None if layouts is None else tuple(l[0, 0] for l in layouts)
+        rest = list(extra)
+        layout = tuple(l[0, 0] for l in rest.pop(0)) if use_pallas else None
+        halo = None
+        if use_halo:
+            plan = rest.pop(0)
+            halo = (plan.send_idx[0, 0], plan.senders_ext[0, 0])
         di = jax.lax.axis_index("data")
         gi = jax.lax.axis_index("graph")
         my_key = jax.random.fold_in(jax.random.fold_in(key, di), gi)
         logp = amp_gcn_forward_local(
             params, shard, cfg, my_key, axis="graph",
             layout=layout, tile_nodes=tile_nodes, interpret=interpret,
-            scaler_stats=scaler_stats,
+            scaler_stats=scaler_stats, halo=halo,
         )
         m = (shard.train_mask & shard.node_mask).astype(logp.dtype)
         nll = -jnp.take_along_axis(logp, shard.y[:, None].astype(jnp.int32), axis=1)[:, 0]
@@ -512,8 +678,11 @@ def make_dp_partitioned_train_step(
         n = jax.lax.psum(jnp.sum(m), ("data", "graph"))
         return loss, correct / jnp.maximum(n, 1.0)
 
-    in_specs = ((P(), pspec, P(), lspec) if use_pallas
-                else (P(), pspec, P()))
+    in_specs = (P(), pspec, P())
+    if use_pallas:
+        in_specs = in_specs + (lspec,)
+    if use_halo:
+        in_specs = in_specs + (hspec,)
     sharded_loss = shard_map(
         local_loss, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
         check_vma=False,
@@ -532,3 +701,21 @@ def stack_layouts(layouts) -> ShardLayout:
     Replicas may have different per-tile budgets (different subgraphs) —
     use a common edges_per_tile in partition_layouts so leaves stack."""
     return ShardLayout(*(jnp.stack(leaves) for leaves in zip(*layouts)))
+
+
+def stack_halos(plans) -> HaloPlan:
+    """Stack per-replica HaloPlans into [data, graph, ...] leaves.
+
+    All replicas must share one halo width: senders_ext encodes the
+    per-source stride (n_loc + src*H + slot), so differing widths cannot
+    be padded post-hoc — rebuild with build_halo_plan(pg, pad_to=W) for
+    a common W (e.g. the max width rounded up)."""
+    widths = {pl.halo_width for pl in plans}
+    if len(widths) != 1:
+        raise ValueError(
+            f"stack_halos: replicas have different halo widths {sorted(widths)}"
+            " — rebuild each plan with build_halo_plan(pg, pad_to=<common "
+            "width>) so the ext index spaces agree (senders_ext encodes the "
+            "stride)"
+        )
+    return HaloPlan(*(jnp.stack(leaves) for leaves in zip(*plans)))
