@@ -1,0 +1,153 @@
+"""The run the all-gather design could not do: an edge-partitioned
+forward+backward on a graph whose REPLICATED projected K/V exceeds the
+per-chip budget (VERDICT r4 missing #1 'Done' clause).
+
+Shapes: N_tot = 1,048,576 nodes, S=20 tokens, D=128 (the reference's
+main config) -> projected K|V = N_tot * S * 2D * 4 B = 21.5 GB. Under
+the all-gather exchange every chip materializes that buffer: over the
+15.75 GB v5e HBM budget on real hardware, and 8 x 21.5 GB = 172 GB on
+this host's 8-device virtual mesh — more than host RAM, unrunnable
+either way. The boundary-only halo path holds N_loc + P*H rows per
+chip (~2.7 GB + halo) and runs.
+
+Edges use a locality window (the regime graph partitioning exists for;
+a random 1M-node edge list has no exploitable cut). Default drives ONE
+loss+grad step of the 2-conv AMPGCN trunk via make_partitioned_train_step
+on the 8-way virtual mesh; --fwd-only skips the backward.
+
+Usage: python experiments/halo_budget_run.py [--fwd-only] [--nodes N]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from ampnet_tpu.core.config import AMPGCNConfig
+from ampnet_tpu.core.graph import from_arrays
+from ampnet_tpu.models import AMPGCN
+from ampnet_tpu.parallel import (
+    build_halo_plan,
+    make_mesh,
+    make_partitioned_train_step,
+    partition_graph,
+)
+from ampnet_tpu.train import make_optimizer
+
+HBM_BUDGET_GB = 15.75  # v5e per-chip
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=1_048_576)
+    ap.add_argument("--edges", type=int, default=262_144)
+    ap.add_argument("--window", type=int, default=8192)
+    ap.add_argument("--features", type=int, default=128)
+    ap.add_argument("--fwd-only", action="store_true")
+    args = ap.parse_args()
+
+    n, e, f = args.nodes, args.edges, args.features
+    s, d = 20, 128
+    repl_gb = n * s * 2 * d * 4 / 2**30
+    print(f"replicated K/V would be {repl_gb:.1f} GB/chip "
+          f"(budget {HBM_BUDGET_GB} GB; host total x8 = {8*repl_gb:.0f} GB)",
+          flush=True)
+    assert repl_gb > HBM_BUDGET_GB, "not an over-budget configuration"
+
+    rng = np.random.default_rng(0)
+    recv = rng.integers(0, n, e)
+    send = (recv + rng.integers(-args.window, args.window + 1, e)) % n
+    x = (rng.random((n, f)) < 0.05).astype(np.float32)
+    x[x.sum(1) == 0, 0] = 1.0
+    g = from_arrays(x, np.stack([send, recv]), y=rng.integers(0, 7, n),
+                    train_mask=np.ones(n, bool),
+                    node_norm=np.ones(n, np.float32))
+    cfg = AMPGCNConfig(
+        embedding_dim=d, num_heads=4, num_node_features=f,
+        num_sampled_vectors=s, output_dim=7, feat_emb_dim=d - 1, val_emb_dim=1,
+        dropout_rate=0.0, dropout_adj_rate=0.0,
+    )
+    model = AMPGCN(config=cfg)
+    k = jax.random.PRNGKey(0)
+    # init on a tiny stand-in graph — params are graph-size independent
+    g0 = from_arrays(x[:64], np.stack([send[:128] % 64, recv[:128] % 64]),
+                     y=np.zeros(64, np.int64), train_mask=np.ones(64, bool),
+                     node_norm=np.ones(64, np.float32))
+    params = model.init({"params": k, "sample": k, "dropout": k, "edges": k},
+                        g0, deterministic=True)["params"]
+
+    t0 = time.time()
+    pg = partition_graph(g, 8)
+    plan = build_halo_plan(pg)
+    n_loc = pg.x.shape[1]
+    halo_gb = (n_loc + 8 * plan.halo_width) * s * 2 * d * 4 / 2**30
+    print(f"partitioned in {time.time()-t0:.1f}s: n_loc={n_loc}, "
+          f"H={plan.halo_width}, per-chip K/V buffer {halo_gb:.2f} GB "
+          f"({repl_gb/halo_gb:.1f}x under the all-gather requirement)", flush=True)
+
+    mesh = make_mesh(data=1, graph=8)
+    result = dict(
+        n_tot=n, edges=e, S=s, D=d,
+        replicated_kv_gb=round(repl_gb, 1),
+        halo_kv_gb=round(halo_gb, 2),
+        halo_width=int(plan.halo_width),
+        mode="fwd-only" if args.fwd_only else "loss+grad step",
+    )
+    if args.fwd_only:
+        from jax.sharding import PartitionSpec as P
+
+        from ampnet_tpu.parallel.edge_partition import (
+            PartitionedGraph, HaloPlan, amp_gcn_forward_local)
+        try:
+            from jax import shard_map as _sm
+            shard_map = _sm.shard_map if hasattr(_sm, "shard_map") else _sm
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+
+        pspec = PartitionedGraph(*(P("graph") for _ in range(9)))
+        hspec = HaloPlan(*(P("graph") for _ in HaloPlan._fields))
+
+        def local_fwd(params, pg_in, plan_in, key):
+            shard = PartitionedGraph(*(leaf[0] for leaf in pg_in))
+            my_key = jax.random.fold_in(key, jax.lax.axis_index("graph"))
+            halo = (plan_in.send_idx[0], plan_in.senders_ext[0])
+            return amp_gcn_forward_local(params, shard, cfg, my_key,
+                                         halo=halo)[None]
+
+        fn = jax.jit(shard_map(local_fwd, mesh=mesh,
+                               in_specs=(P(), pspec, hspec, P()),
+                               out_specs=P("graph"), check_vma=False))
+        t0 = time.time()
+        with mesh:
+            out = jax.block_until_ready(fn(params, pg, plan, k))
+        result["seconds_incl_compile"] = round(time.time() - t0, 1)
+        result["ok"] = bool(np.isfinite(np.asarray(out)).all())
+    else:
+        tx = make_optimizer(1e-3)
+        opt_state = tx.init(params)
+        step = make_partitioned_train_step(cfg, mesh, tx, loss_mode="full",
+                                           use_halo=True)
+        t0 = time.time()
+        with mesh:
+            params2, _, metrics = step(params, opt_state, pg, k, plan)
+            jax.block_until_ready(params2)
+        result["seconds_incl_compile"] = round(time.time() - t0, 1)
+        result["loss"] = round(float(metrics["loss"]), 4)
+        result["ok"] = bool(np.isfinite(float(metrics["loss"])))
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
