@@ -17,12 +17,13 @@ graphs that outgrow one chip:
       - boundary-only halo (build_halo_plan, the scale-out default,
         SURVEY §2.6 north star): each shard-pair exchanges ONLY the
         sender rows the destination's edges actually reference, via one
-        all_to_all of a host-precomputed [P, H] index plan; per-chip
-        memory O(N_loc + cut) — graphs whose projected K/V exceed one
-        chip's HBM remain shardable;
+        lax.ppermute per live ring offset (host-precomputed per-offset
+        budgets — traffic tracks the true cut at any shard count);
+        per-chip memory O(N_loc + cut) — graphs whose projected K/V
+        exceed one chip's HBM remain shardable;
   * reverse-mode AD through shard_map turns the collective into its
-    transpose automatically (all-gather -> reduce-scatter; all_to_all
-    -> reverse all_to_all + scatter-add of boundary-token grads) — no
+    transpose automatically (all-gather -> reduce-scatter; ppermute ->
+    inverse ppermute + scatter-add of boundary-token grads) — no
     hand-written comm.
 
 The local forward mirrors models/amp_gcn.py math parameter-for-parameter
@@ -123,45 +124,77 @@ def partition_graph(g: Graph, n_shards: int) -> PartitionedGraph:
     )
 
 
-class HaloPlan(NamedTuple):
-    """Host-precomputed boundary-exchange plan (leaves stacked on a
-    leading shard axis, sharded over 'graph' like PartitionedGraph).
+@jax.tree_util.register_pytree_node_class
+class HaloPlan:
+    """Host-precomputed boundary-exchange plan (array leaves stacked on a
+    leading shard axis, sharded over 'graph' like PartitionedGraph;
+    offset structure is STATIC pytree aux, so jit specializes on it).
 
     For each ordered shard pair (src p -> dst q), the rows of p that q's
-    edges actually reference are enumerated once (sorted unique), padded
-    to a common static width H = halo_width. One lax.all_to_all of the
-    gathered [P, H, ...] buffer then delivers exactly those rows; the
-    receiver indexes them through `senders_ext`, which remaps every
-    edge's global sender id into the [N_loc + P*H) local+halo space.
-    Per-chip memory/traffic is O(N_loc + P*H) = O(N_loc + cut), not
-    O(N_tot) — the SURVEY §2.6 boundary-exchange contract.
+    edges actually reference are enumerated once (sorted unique). Pairs
+    are grouped by ring OFFSET o = (q - p) mod P, and each offset gets
+    its OWN static budget H_o = max over its P pairs (rounded to
+    pad_to); offsets nobody needs are dropped entirely. The exchange is
+    one lax.ppermute per live offset — on a locality-partitioned graph
+    only the near offsets survive, so bytes moved track the TRUE cut at
+    any P (a single uniform budget over all pairs degrades toward
+    all-gather traffic as P grows: the max pair pads every pair —
+    measured in experiments/halo_comm_accounting.py). Receivers index
+    halo rows through `senders_ext`, which remaps every edge's global
+    sender id into the [N_loc + sum(H_o)) local+halo space (offset-major
+    blocks after the local rows). Per-chip memory/traffic is
+    O(N_loc + cut), not O(N_tot) — the SURVEY §2.6 boundary-exchange
+    contract.
     """
 
-    send_idx: jnp.ndarray     # [P, P, H] int32 — [src, dst, slot]: local
-                              # rows src sends to dst (0-padded; padded
-                              # slots are never referenced by receivers)
-    senders_ext: jnp.ndarray  # [P, E_loc] int32 — sender index into the
-                              # shard's [N_loc + P*H) local+halo space
-    pair_counts: jnp.ndarray  # [P, P] int32 — [dst, src]: TRUE (unpadded)
-                              # halo sizes; device-unused, kept for comm
-                              # accounting and tests
+    def __init__(self, send_idx, senders_ext, pair_counts, offsets, sizes):
+        self.send_idx = send_idx        # [P, sum(H_o)] int32: my local rows,
+                                        # offset-major (0-padded; padded
+                                        # slots are never referenced)
+        self.senders_ext = senders_ext  # [P, E_loc] int32 into local+halo
+        self.pair_counts = pair_counts  # [P, P] int32 [dst, src] TRUE sizes
+                                        # (device-unused; comm accounting)
+        self.offsets = tuple(int(o) for o in offsets)  # static: live offsets
+        self.sizes = tuple(int(s) for s in sizes)      # static: budgets H_o
+
+    def tree_flatten(self):
+        return ((self.send_idx, self.senders_ext, self.pair_counts),
+                (self.offsets, self.sizes))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
 
     @property
     def halo_width(self) -> int:
-        return self.send_idx.shape[-1]
+        """Total halo rows per shard (sum of all offset blocks)."""
+        return int(sum(self.sizes))
+
+    @property
+    def meta(self):
+        return (self.offsets, self.sizes)
 
 
-def build_halo_plan(pg: PartitionedGraph, pad_to: int = 8) -> HaloPlan:
+def build_halo_plan(
+    pg: PartitionedGraph,
+    pad_to: int = 8,
+    force_meta=None,
+) -> HaloPlan:
     """Host-side: enumerate, per ordered shard pair, the boundary rows the
-    destination's edges reference (from senders_global), pad to a common
-    static width, and remap senders into the local+halo index space."""
+    destination's edges reference (from senders_global), budget per ring
+    offset, and remap senders into the local+halo index space.
+
+    force_meta=(offsets, sizes) pins the static structure (e.g. to make
+    per-replica plans stackable for the DP x graph path — stack_halos);
+    raises if any pair outgrows its forced budget or needs an offset the
+    forced meta lacks."""
     p_shards = pg.num_shards
     n_loc = pg.x.shape[1]
     sg = np.asarray(pg.senders_global)
     em = np.asarray(pg.edge_mask)
 
     needed = [[np.zeros(0, np.int64)] * p_shards for _ in range(p_shards)]
-    h = 1
+    off_need = np.zeros(p_shards, np.int64)  # per-offset max pair size
     for q in range(p_shards):
         s_q = sg[q][em[q]]
         owners = s_q // n_loc
@@ -170,16 +203,39 @@ def build_halo_plan(pg: PartitionedGraph, pad_to: int = 8) -> HaloPlan:
                 continue
             rows = np.unique(s_q[owners == p] % n_loc)
             needed[q][p] = rows
-            h = max(h, int(rows.size))
-    h = -(-h // pad_to) * pad_to
+            o = (q - p) % p_shards
+            off_need[o] = max(off_need[o], rows.size)
 
-    send_idx = np.zeros((p_shards, p_shards, h), np.int32)
+    if force_meta is not None:
+        offsets = tuple(int(o) for o in force_meta[0])
+        sizes = tuple(int(s) for s in force_meta[1])
+        budget = dict(zip(offsets, sizes))
+        for o in range(1, p_shards):
+            if off_need[o] > budget.get(o, 0):
+                raise ValueError(
+                    f"force_meta budget too small for offset {o}: need "
+                    f"{int(off_need[o])}, have {budget.get(o, 0)}"
+                )
+    else:
+        offsets = tuple(o for o in range(1, p_shards) if off_need[o] > 0)
+        sizes = tuple(-(-int(off_need[o]) // pad_to) * pad_to for o in offsets)
+    h_sum = int(sum(sizes))
+    base = {}  # offset -> start of its block within the halo region
+    acc = 0
+    for o, hh in zip(offsets, sizes):
+        base[o] = acc
+        acc += hh
+
+    send_idx = np.zeros((p_shards, max(h_sum, 1)), np.int32)
     pair_counts = np.zeros((p_shards, p_shards), np.int32)
     for q in range(p_shards):
         for p in range(p_shards):
             rows = needed[q][p]
-            send_idx[p, q, : rows.size] = rows
             pair_counts[q, p] = rows.size
+            if p == q or rows.size == 0:
+                continue
+            o = (q - p) % p_shards
+            send_idx[p, base[o]: base[o] + rows.size] = rows
 
     senders_ext = np.zeros_like(sg)
     for q in range(p_shards):
@@ -192,34 +248,47 @@ def build_halo_plan(pg: PartitionedGraph, pad_to: int = 8) -> HaloPlan:
                 continue
             sel = em[q] & (owners == p)
             if sel.any():
+                o = (q - p) % p_shards
                 # needed[q][p] is sorted unique -> searchsorted gives the
                 # halo slot of each referenced row exactly
                 pos = np.searchsorted(needed[q][p], loc[sel])
-                ext[sel] = (n_loc + p * h + pos).astype(np.int32)
+                ext[sel] = (n_loc + base[o] + pos).astype(np.int32)
         senders_ext[q] = ext
 
     return HaloPlan(
         send_idx=jnp.asarray(send_idx),
         senders_ext=jnp.asarray(senders_ext),
         pair_counts=jnp.asarray(pair_counts),
+        offsets=offsets,
+        sizes=sizes,
     )
 
 
 def halo_exchange(
     x_local: jnp.ndarray,        # [N_loc, ...]
-    send_idx_local: jnp.ndarray, # [P, H] — this shard's rows per destination
+    send_idx_local: jnp.ndarray, # [sum(H_o)] — my rows, offset-major
+    meta,                        # (offsets, sizes) static — HaloPlan.meta
+    p_shards: int,
     axis: str = "graph",
 ) -> jnp.ndarray:
-    """Boundary-only exchange: gather my rows per destination, one
-    all_to_all over `axis`, concatenate received halo rows after the
-    local block -> [N_loc + P*H, ...]. AD reverses the route (reverse
-    all_to_all, then scatter-add into the local rows via the gather's
-    transpose) — gradients for boundary tokens flow back to their owner
-    with the same O(cut) traffic as the forward."""
-    buf = jnp.take(x_local, send_idx_local, axis=0)            # [P, H, ...]
-    halo = jax.lax.all_to_all(buf, axis, split_axis=0, concat_axis=0)
-    halo = halo.reshape((-1,) + x_local.shape[1:])             # [P*H, ...]
-    return jnp.concatenate([x_local, halo], axis=0)
+    """Boundary-only exchange: gather my boundary rows once, then one
+    lax.ppermute per live ring offset (shard i -> shard (i+o) mod P);
+    received blocks concatenate offset-major after the local rows ->
+    [N_loc + sum(H_o), ...]. On TPU each ppermute rides ICI
+    point-to-point; dead offsets cost nothing, so traffic tracks the
+    cut. AD reverses the route (inverse permutes, then scatter-add into
+    the local rows via the gather's transpose) — boundary-token
+    gradients flow back to their owner with the same O(cut) traffic as
+    the forward."""
+    offsets, sizes = meta
+    buf = jnp.take(x_local, send_idx_local, axis=0)   # [sum(H_o), ...]
+    parts = [x_local]
+    start = 0
+    for o, h in zip(offsets, sizes):
+        perm = [(i, (i + o) % p_shards) for i in range(p_shards)]
+        parts.append(jax.lax.ppermute(buf[start: start + h], axis, perm=perm))
+        start += h
+    return jnp.concatenate(parts, axis=0)
 
 
 class ShardLayout(NamedTuple):
@@ -260,7 +329,7 @@ def partition_layouts(
     p = pg.num_shards
     n_loc = pg.x.shape[1]
     if halo_plan is not None:
-        n_all = n_loc + p * halo_plan.halo_width
+        n_all = n_loc + halo_plan.halo_width
         senders_arr = np.asarray(halo_plan.senders_ext)
     else:
         n_all = p * n_loc
@@ -346,8 +415,9 @@ def _sharded_amp_conv(
     q_nodes = qkv[..., :d]
     kv_local = qkv[..., d:]                       # [N_loc, S, 2D] packed k|v
     if halo is not None:
-        send_idx, senders_ref = halo
-        kv_all = halo_exchange(kv_local, send_idx, axis)  # [N_loc+P*H, S, 2D]
+        send_idx, senders_ref, meta, p_shards = halo
+        kv_all = halo_exchange(kv_local, send_idx, meta, p_shards, axis)
+        # -> [N_loc + sum(H_o), S, 2D]
     else:
         senders_ref = senders_global
         # projected K/V for every node, concatenated shard-major
@@ -402,9 +472,9 @@ def _sharded_gcn_conv(
     deg_local = segment_count(receivers_local, n_loc, edge_mask) + 1.0
     dinv_local = 1.0 / jnp.sqrt(deg_local)
     if halo is not None:
-        send_idx, senders_ref = halo
-        h_all = halo_exchange(h_local, send_idx, axis)
-        dinv_all = halo_exchange(dinv_local, send_idx, axis)
+        send_idx, senders_ref, meta, p_shards = halo
+        h_all = halo_exchange(h_local, send_idx, meta, p_shards, axis)
+        dinv_all = halo_exchange(dinv_local, send_idx, meta, p_shards, axis)
     else:
         senders_ref = senders_global
         h_all = jax.lax.all_gather(h_local, axis, axis=0, tiled=True)
@@ -426,7 +496,12 @@ def amp_gcn_forward_local(
     tile_nodes: int = DEFAULT_TILE_NODES,
     interpret: bool = False,
     scaler_stats=None,         # (mean, std) for cfg.scaler='precomputed'
-    halo=None,                 # per-shard (send_idx [P, H], senders_ext)
+    halo=None,                 # per-shard (send_idx, senders_ext, meta, P)
+    remat: bool = False,       # jax.checkpoint each conv: recompute the
+                               # projected/exchanged K-V in the backward
+                               # instead of keeping it live — trades one
+                               # extra conv fwd for O(N_loc*S*D) residual
+                               # memory per conv (the large-graph lever)
 ) -> jnp.ndarray:
     """Per-shard AMPGCN forward (deterministic path: dropouts off), with
     boundary-exchanged convs (all-gather, or halo-only when `halo` is
@@ -477,17 +552,20 @@ def amp_gcn_forward_local(
     table = params["tokenizer"]["feature_embedding_table"]
     tokens = gather_tokens(x_norm, sidx, table)
 
-    h = _sharded_amp_conv(
-        tokens, shard.senders_global, shard.receivers_local, shard.edge_mask,
-        _mha_params(params["conv1"]), cfg.num_heads, cfg.attn_softmax, axis,
-        layout=layout, tile_nodes=tile_nodes, interpret=interpret, halo=halo,
-    )
+    def conv(tokens_in, mha):
+        return _sharded_amp_conv(
+            tokens_in, shard.senders_global, shard.receivers_local,
+            shard.edge_mask, mha, cfg.num_heads, cfg.attn_softmax, axis,
+            layout=layout, tile_nodes=tile_nodes, interpret=interpret,
+            halo=halo,
+        )
+
+    if remat:
+        conv = jax.checkpoint(conv)
+
+    h = conv(tokens, _mha_params(params["conv1"]))
     h = jax.nn.relu(h)
-    h = _sharded_amp_conv(
-        h, shard.senders_global, shard.receivers_local, shard.edge_mask,
-        _mha_params(params["conv2"]), cfg.num_heads, cfg.attn_softmax, axis,
-        layout=layout, tile_nodes=tile_nodes, interpret=interpret, halo=halo,
-    )
+    h = conv(h, _mha_params(params["conv2"]))
     h = jax.nn.relu(h)
     pooled = jnp.mean(h, axis=1)
 
@@ -565,6 +643,7 @@ def make_partitioned_train_step(
     interpret: bool = False,
     scaler_stats=None,   # (mean, std) for cfg.scaler='precomputed'
     use_halo: bool = False,
+    remat: bool = False,
 ):
     """Jitted edge-partitioned training step over the 'graph' mesh axis.
 
@@ -582,7 +661,8 @@ def make_partitioned_train_step(
         receivers_local=P("graph"), edge_mask=P("graph"),
     )
     lspec = ShardLayout(*(P("graph") for _ in ShardLayout._fields))
-    hspec = HaloPlan(*(P("graph") for _ in HaloPlan._fields))
+    hspec = P("graph")  # tree-prefix: shards every HaloPlan array leaf
+    n_graph = mesh.shape["graph"]
 
     def local_loss(params, pg: PartitionedGraph, key, *extra):
         shard = PartitionedGraph(*(leaf[0] for leaf in pg))  # strip shard axis
@@ -592,11 +672,11 @@ def make_partitioned_train_step(
         halo = None
         if use_halo:
             plan = rest.pop(0)
-            halo = (plan.send_idx[0], plan.senders_ext[0])
+            halo = (plan.send_idx[0], plan.senders_ext[0], plan.meta, n_graph)
         logp = amp_gcn_forward_local(
             params, shard, cfg, my_key,
             layout=layout, tile_nodes=tile_nodes, interpret=interpret,
-            scaler_stats=scaler_stats, halo=halo,
+            scaler_stats=scaler_stats, halo=halo, remat=remat,
         )
         m = (shard.train_mask & shard.node_mask).astype(logp.dtype)
         nll = -jnp.take_along_axis(logp, shard.y[:, None].astype(jnp.int32), axis=1)[:, 0]
@@ -629,6 +709,7 @@ def make_dp_partitioned_train_step(
     interpret: bool = False,
     scaler_stats=None,   # (mean, std) for cfg.scaler='precomputed'
     use_halo: bool = False,
+    remat: bool = False,
 ):
     """Combined data-parallel x graph-partitioned training step.
 
@@ -648,7 +729,8 @@ def make_dp_partitioned_train_step(
     pad_to or pad to the max)."""
     pspec = PartitionedGraph(*(P("data", "graph") for _ in range(9)))
     lspec = ShardLayout(*(P("data", "graph") for _ in ShardLayout._fields))
-    hspec = HaloPlan(*(P("data", "graph") for _ in HaloPlan._fields))
+    hspec = P("data", "graph")  # tree-prefix over HaloPlan array leaves
+    n_graph = mesh.shape["graph"]
 
     def local_loss(params, pg: PartitionedGraph, key, *extra):
         shard = PartitionedGraph(*(leaf[0, 0] for leaf in pg))
@@ -657,14 +739,15 @@ def make_dp_partitioned_train_step(
         halo = None
         if use_halo:
             plan = rest.pop(0)
-            halo = (plan.send_idx[0, 0], plan.senders_ext[0, 0])
+            halo = (plan.send_idx[0, 0], plan.senders_ext[0, 0], plan.meta,
+                    n_graph)
         di = jax.lax.axis_index("data")
         gi = jax.lax.axis_index("graph")
         my_key = jax.random.fold_in(jax.random.fold_in(key, di), gi)
         logp = amp_gcn_forward_local(
             params, shard, cfg, my_key, axis="graph",
             layout=layout, tile_nodes=tile_nodes, interpret=interpret,
-            scaler_stats=scaler_stats, halo=halo,
+            scaler_stats=scaler_stats, halo=halo, remat=remat,
         )
         m = (shard.train_mask & shard.node_mask).astype(logp.dtype)
         nll = -jnp.take_along_axis(logp, shard.y[:, None].astype(jnp.int32), axis=1)[:, 0]
@@ -706,16 +789,44 @@ def stack_layouts(layouts) -> ShardLayout:
 def stack_halos(plans) -> HaloPlan:
     """Stack per-replica HaloPlans into [data, graph, ...] leaves.
 
-    All replicas must share one halo width: senders_ext encodes the
-    per-source stride (n_loc + src*H + slot), so differing widths cannot
-    be padded post-hoc — rebuild with build_halo_plan(pg, pad_to=W) for
-    a common W (e.g. the max width rounded up)."""
-    widths = {pl.halo_width for pl in plans}
-    if len(widths) != 1:
+    All replicas must share one STATIC offset structure: senders_ext
+    encodes the offset-block bases, so differing metas cannot be padded
+    post-hoc — rebuild every plan with build_halo_plan(pg,
+    force_meta=common_halo_meta(pgs)) first."""
+    metas = {pl.meta for pl in plans}
+    if len(metas) != 1:
         raise ValueError(
-            f"stack_halos: replicas have different halo widths {sorted(widths)}"
-            " — rebuild each plan with build_halo_plan(pg, pad_to=<common "
-            "width>) so the ext index spaces agree (senders_ext encodes the "
-            "stride)"
+            f"stack_halos: replicas have different halo metas {sorted(metas)}"
+            " — rebuild each plan with build_halo_plan(pg, force_meta=...)"
+            " (see common_halo_meta) so the ext index spaces agree"
         )
-    return HaloPlan(*(jnp.stack(leaves) for leaves in zip(*plans)))
+    meta = plans[0].meta
+    return HaloPlan(
+        jnp.stack([pl.send_idx for pl in plans]),
+        jnp.stack([pl.senders_ext for pl in plans]),
+        jnp.stack([pl.pair_counts for pl in plans]),
+        *meta,
+    )
+
+
+def common_halo_meta(pgs, pad_to: int = 8):
+    """(offsets, sizes) covering every replica's needs — the force_meta
+    that makes per-replica plans stackable (stack_halos)."""
+    need = {}
+    for pg in pgs:
+        p_shards = pg.num_shards
+        n_loc = pg.x.shape[1]
+        sg = np.asarray(pg.senders_global)
+        em = np.asarray(pg.edge_mask)
+        for q in range(p_shards):
+            s_q = sg[q][em[q]]
+            owners = s_q // n_loc
+            for p in range(p_shards):
+                if p == q:
+                    continue
+                k = len(np.unique(s_q[owners == p]))
+                o = (q - p) % p_shards
+                need[o] = max(need.get(o, 0), k)
+    offsets = tuple(sorted(o for o in need if need[o] > 0))
+    sizes = tuple(-(-need[o] // pad_to) * pad_to for o in offsets)
+    return offsets, sizes

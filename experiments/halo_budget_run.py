@@ -27,7 +27,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# 8 virtual devices timeshare this host's 4 cores: at 1M-node scale the
+# arrival skew at the first collective exceeds XLA:CPU's default 40 s
+# rendezvous termination window (F rendezvous.cc observed). Raise it —
+# skew is benign oversubscription here, not a hung participant.
+if "collective_call_terminate" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1800")
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 
@@ -137,8 +145,13 @@ def main():
     else:
         tx = make_optimizer(1e-3)
         opt_state = tx.init(params)
+        # remat: recompute each conv's projected/exchanged K-V in the
+        # backward instead of keeping it live — at this scale the AD
+        # residuals (qkv + halo'd K-V per conv per shard) are what
+        # overflow, exactly the jax.checkpoint trade (first run without
+        # it was OOM-killed at >108 GB host RSS)
         step = make_partitioned_train_step(cfg, mesh, tx, loss_mode="full",
-                                           use_halo=True)
+                                           use_halo=True, remat=True)
         t0 = time.time()
         with mesh:
             params2, _, metrics = step(params, opt_state, pg, k, plan)

@@ -16,7 +16,9 @@ Graphs: the padded-Cora surrogate (N=2708 -> pad 4096, E=10556, the
 reference's benchmark graph) partitioned RANDOMLY (worst-case cut: Cora
 order has no locality) and the 1M-edge scale graph (N=100k, E=1M,
 RESULTS.md line) with a locality window (the regime partitioning exists
-for). P = 2/4/8.
+for). P = 2/4/8 (+16/32 on the 1M graph — the scale where the earlier
+uniform-budget all_to_all design degraded toward all-gather traffic and
+the per-offset ppermute budgets keep tracking the cut).
 
 Usage: JAX_PLATFORMS=cpu python experiments/halo_comm_accounting.py
        [--hlo] (also compile both Cora-scale steps and grep collectives)
@@ -65,22 +67,23 @@ def account(g, p_shards):
     plan = build_halo_plan(pg)
     n_loc = pg.x.shape[1]
     n_tot = n_loc * p_shards
-    h = plan.halo_width
     pc = np.asarray(plan.pair_counts)  # [dst, src]
-    # per-chip RECEIVED rows per conv (self block never crosses ICI)
+    # per-chip RECEIVED rows per conv
     allgather_rows = (p_shards - 1) * n_loc
-    halo_true_rows = int(pc.sum(axis=1).max())      # worst chip, true cut
-    halo_padded_rows = (p_shards - 1) * h           # what the static plan moves
+    halo_true_rows = int(pc.sum(axis=1).max())   # worst chip, true cut
+    # per-offset ppermute: every chip receives each live offset's block
+    halo_padded_rows = int(sum(plan.sizes))
     return {
         "P": p_shards,
         "N_tot": n_tot,
-        "halo_width_H": h,
+        "live_offsets": len(plan.offsets),
+        "halo_rows_per_chip": halo_padded_rows,
         "allgather_recv_MB_per_chip_per_conv": round(allgather_rows * ROW_BYTES / 1e6, 1),
         "halo_recv_MB_true": round(halo_true_rows * ROW_BYTES / 1e6, 1),
         "halo_recv_MB_padded": round(halo_padded_rows * ROW_BYTES / 1e6, 1),
         "reduction_x": round(allgather_rows / max(halo_padded_rows, 1), 2),
         "kv_buffer_MB_allgather": round(n_tot * ROW_BYTES / 1e6, 1),
-        "kv_buffer_MB_halo": round((n_loc + p_shards * h) * ROW_BYTES / 1e6, 1),
+        "kv_buffer_MB_halo": round((n_loc + halo_padded_rows) * ROW_BYTES / 1e6, 1),
     }
 
 
@@ -121,7 +124,7 @@ def hlo_collectives(use_halo):
                          *extra).compile().as_text()
     out = {}
     for m in re.finditer(
-        r"= ((?:\([^)]*\)|\S+)) (all-gather|all-to-all|reduce-scatter|all-reduce)(?:-start)?\(",
+        r"= ((?:\([^)]*\)|\S+)) (all-gather|all-to-all|collective-permute|reduce-scatter|all-reduce)(?:-start)?\(",
         txt,
     ):
         shape, op = m.group(1), m.group(2)
@@ -141,7 +144,7 @@ def main():
     big = make_graph(100_000, 1_000_000, window=4096)   # locality window
     for name, g in (("cora-surrogate(random)", cora),
                     ("1M-edge(window=4096)", big)):
-        for p in (2, 4, 8):
+        for p in ((2, 4, 8) if g is cora else (2, 4, 8, 16, 32)):
             r = account(g, p)
             r["graph"] = name
             rows.append(r)

@@ -61,15 +61,16 @@ def tiny_graph(rng, n=16, e=48, f=24):
 
 def test_halo_plan_resolves_every_edge(rng):
     """senders_ext must address exactly the global row each edge names:
-    local ids stay local; remote ids land in the halo block at the slot
-    where the (src->dst) exchange placed that row."""
+    local ids stay local; remote ids land in the offset block where the
+    (src->dst) ppermute placed that row."""
     g = tiny_graph(rng)
-    pg = partition_graph(g, 4)
+    p_shards = 4
+    pg = partition_graph(g, p_shards)
     plan = build_halo_plan(pg)
     n_loc = pg.x.shape[1]
-    h = plan.halo_width
     send_idx = np.asarray(plan.send_idx)
-    for q in range(4):
+    bases = np.concatenate([[0], np.cumsum(plan.sizes)])
+    for q in range(p_shards):
         em = np.asarray(pg.edge_mask[q])
         sg = np.asarray(pg.senders_global[q])
         se = np.asarray(plan.senders_ext[q])
@@ -80,11 +81,15 @@ def test_halo_plan_resolves_every_edge(rng):
                 assert se[e] == g_id % n_loc
             else:
                 slot = int(se[e]) - n_loc
-                src, pos = slot // h, slot % h
-                assert src == owner
-                # the row src sends to q at that position IS this sender
-                assert send_idx[src, q, pos] == g_id % n_loc
-                assert pos < int(plan.pair_counts[q, src])
+                # find the offset block this slot belongs to
+                bi = int(np.searchsorted(bases, slot, side="right")) - 1
+                o = plan.offsets[bi]
+                pos = slot - bases[bi]
+                # the block at offset o came from shard (q - o) mod P
+                assert (q - o) % p_shards == owner
+                # the row owner queued at that slot IS this sender
+                assert send_idx[owner, slot] == g_id % n_loc
+                assert pos < int(plan.pair_counts[q, owner])
 
 
 def test_halo_traffic_is_bounded_by_cut(rng):
@@ -106,15 +111,17 @@ def test_halo_traffic_is_bounded_by_cut(rng):
 def _sharded_fwd(params, pg, plan, key, cfg, use_halo, layouts=None,
                  tile_nodes=2, mesh=None):
     pspec = PartitionedGraph(*(P("graph") for _ in range(9)))
-    hspec = HaloPlan(*(P("graph") for _ in HaloPlan._fields))
+    hspec = P("graph")  # tree-prefix over the HaloPlan array leaves
     in_specs = [P(), pspec, hspec, P()]
     if layouts is not None:
         in_specs.append(type(layouts)(*(P("graph") for _ in type(layouts)._fields)))
+    n_graph = mesh.shape["graph"]
 
     def local_fwd(params, pg_in, plan_in, key, lay=None):
         shard = PartitionedGraph(*(leaf[0] for leaf in pg_in))
         my_key = jax.random.fold_in(key, jax.lax.axis_index("graph"))
-        halo = (plan_in.send_idx[0], plan_in.senders_ext[0]) if use_halo else None
+        halo = ((plan_in.send_idx[0], plan_in.senders_ext[0], plan_in.meta,
+                 n_graph) if use_halo else None)
         layout = None if lay is None else tuple(l[0] for l in lay)
         return amp_gcn_forward_local(
             params, shard, cfg, my_key, halo=halo,
@@ -225,10 +232,44 @@ def test_halo_train_step_matches_allgather(rng, use_pallas):
     )
 
 
+def test_halo_remat_step_matches(rng):
+    """remat=True (jax.checkpoint around each conv — the large-graph
+    memory lever) must be a pure scheduling change: same updated params
+    as the non-remat halo step."""
+    import optax
+
+    g = tiny_graph(rng)
+    model = AMPGCN(config=CFG)
+    k = jax.random.PRNGKey(0)
+    params = model.init(
+        {"params": k, "sample": k, "dropout": k, "edges": k}, g,
+        deterministic=True,
+    )["params"]
+    mesh = make_mesh(data=1, graph=4)
+    pg = partition_graph(g, 4)
+    plan = build_halo_plan(pg)
+    results = {}
+    for remat in (False, True):
+        tx = optax.sgd(1e-2)
+        opt_state = tx.init(params)
+        step = make_partitioned_train_step(CFG, mesh, tx, loss_mode="full",
+                                           use_halo=True, remat=remat)
+        with mesh:
+            params2, _, metrics = step(params, opt_state, pg,
+                                       jax.random.PRNGKey(1), plan)
+        results[remat] = (params2, float(metrics["loss"]))
+    assert np.isclose(results[True][1], results[False][1], rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8),
+        results[True][0], results[False][0],
+    )
+
+
 def test_halo_dp_graph_step_runs(rng):
     """Combined data x graph mesh with halo exchange: one step, finite
     loss, params move."""
-    from ampnet_tpu.parallel import stack_halos, stack_layouts
+    from ampnet_tpu.parallel import common_halo_meta, stack_halos, stack_layouts
     from ampnet_tpu.parallel.edge_partition import (
         make_dp_partitioned_train_step,
         stack_partitioned,
@@ -243,7 +284,8 @@ def test_halo_dp_graph_step_runs(rng):
     )["params"]
     mesh = make_mesh(data=2, graph=4)
     pgs = [partition_graph(g, 4) for g in (g1, g2)]
-    plans = [build_halo_plan(pg, pad_to=16) for pg in pgs]
+    meta = common_halo_meta(pgs)
+    plans = [build_halo_plan(pg, force_meta=meta) for pg in pgs]
     batch = stack_partitioned(pgs)
     plan = stack_halos(plans)
     layouts = stack_layouts([
