@@ -294,10 +294,12 @@ def halo_exchange(
 class ShardLayout(NamedTuple):
     """Per-shard tiled-CSR layouts (leaves stacked on a leading shard
     axis) for running the fused Pallas kernel inside the edge-partitioned
-    path: receivers are LOCAL rows, senders are GLOBAL node ids (indexing
-    the all-gathered K|V). The snd_* leaves are the TRANSPOSED layout —
-    the same edges bucketed by GLOBAL sender tile with local receiver ids
-    in the gather column — for the scatter-free backward's dK|dV pass."""
+    path: receivers are LOCAL rows; senders index the K|V buffer the
+    exchange produced — GLOBAL node ids for the all-gather path, or
+    [N_loc + sum(H_o)) local+halo ids when built with a halo_plan. The
+    snd_* leaves are the TRANSPOSED layout — the same edges bucketed by
+    sender tile with local receiver ids in the gather column — for the
+    scatter-free backward's dK|dV pass."""
 
     tile_senders: jnp.ndarray  # [P, T, EMAX]
     tile_recv: jnp.ndarray     # [P, T, EMAX]

@@ -3,19 +3,28 @@ forward+backward on a graph whose REPLICATED projected K/V exceeds the
 per-chip budget (VERDICT r4 missing #1 'Done' clause).
 
 Shapes: N_tot = 1,048,576 nodes, S=20 tokens, D=128 (the reference's
-main config) -> projected K|V = N_tot * S * 2D * 4 B = 21.5 GB. Under
-the all-gather exchange every chip materializes that buffer: over the
-15.75 GB v5e HBM budget on real hardware, and 8 x 21.5 GB = 172 GB on
-this host's 8-device virtual mesh — more than host RAM, unrunnable
-either way. The boundary-only halo path holds N_loc + P*H rows per
-chip (~2.7 GB + halo) and runs.
+main config) -> projected K|V = N_tot * S * 2D * 4 B = 20.0 GiB. Under
+the all-gather exchange every chip materializes that buffer — over the
+15.75 GB v5e HBM budget on real hardware at ANY shard count. The
+boundary-only halo path holds N_loc + sum(H_o) rows per chip and runs.
 
 Edges use a locality window (the regime graph partitioning exists for;
 a random 1M-node edge list has no exploitable cut). Default drives ONE
 loss+grad step of the 2-conv AMPGCN trunk via make_partitioned_train_step
-on the 8-way virtual mesh; --fwd-only skips the backward.
+(remat'd convs) on a virtual mesh; --fwd-only skips the backward.
+
+--shards (default 2): the virtual mesh is HOST-RAM-bound, not HBM-bound
+— every virtual chip's working set lives in the same 125 GB, so 8
+concurrent 1M-scale device programs OOM the HOST even though each would
+fit a real chip (two 8-shard attempts were OOM-killed at >108 GB RSS).
+P=2 keeps the claim intact: the all-gather design needs 20 GB/chip at
+ANY P (the replicated buffer is N_tot rows regardless), while the halo
+path at P=2 is ~10.9 GB/chip — under budget, and falling with P (see
+halo_comm_accounting.py: 2048→201 MB/chip from P=2→32 at the 100k
+scale).
 
 Usage: python experiments/halo_budget_run.py [--fwd-only] [--nodes N]
+       [--shards P]
 """
 import argparse
 import json
@@ -64,13 +73,15 @@ def main():
     ap.add_argument("--window", type=int, default=8192)
     ap.add_argument("--features", type=int, default=128)
     ap.add_argument("--fwd-only", action="store_true")
+    ap.add_argument("--shards", type=int, default=2)
     args = ap.parse_args()
 
     n, e, f = args.nodes, args.edges, args.features
     s, d = 20, 128
     repl_gb = n * s * 2 * d * 4 / 2**30
     print(f"replicated K/V would be {repl_gb:.1f} GB/chip "
-          f"(budget {HBM_BUDGET_GB} GB; host total x8 = {8*repl_gb:.0f} GB)",
+          f"(budget {HBM_BUDGET_GB} GB; any shard count — the gathered "
+          f"buffer is N_tot rows regardless)",
           flush=True)
     assert repl_gb > HBM_BUDGET_GB, "not an over-budget configuration"
 
@@ -97,16 +108,17 @@ def main():
                         g0, deterministic=True)["params"]
 
     t0 = time.time()
-    pg = partition_graph(g, 8)
+    pg = partition_graph(g, args.shards)
     plan = build_halo_plan(pg)
     n_loc = pg.x.shape[1]
-    halo_gb = (n_loc + 8 * plan.halo_width) * s * 2 * d * 4 / 2**30
+    halo_gb = (n_loc + plan.halo_width) * s * 2 * d * 4 / 2**30
     print(f"partitioned in {time.time()-t0:.1f}s: n_loc={n_loc}, "
           f"H={plan.halo_width}, per-chip K/V buffer {halo_gb:.2f} GB "
           f"({repl_gb/halo_gb:.1f}x under the all-gather requirement)", flush=True)
 
-    mesh = make_mesh(data=1, graph=8)
+    mesh = make_mesh(data=1, graph=args.shards)
     result = dict(
+        shards=args.shards,
         n_tot=n, edges=e, S=s, D=d,
         replicated_kv_gb=round(repl_gb, 1),
         halo_kv_gb=round(halo_gb, 2),
@@ -117,7 +129,7 @@ def main():
         from jax.sharding import PartitionSpec as P
 
         from ampnet_tpu.parallel.edge_partition import (
-            PartitionedGraph, HaloPlan, amp_gcn_forward_local)
+            PartitionedGraph, amp_gcn_forward_local)
         try:
             from jax import shard_map as _sm
             shard_map = _sm.shard_map if hasattr(_sm, "shard_map") else _sm
@@ -125,12 +137,14 @@ def main():
             from jax.experimental.shard_map import shard_map
 
         pspec = PartitionedGraph(*(P("graph") for _ in range(9)))
-        hspec = HaloPlan(*(P("graph") for _ in HaloPlan._fields))
+        hspec = P("graph")  # tree-prefix over the HaloPlan array leaves
+        n_graph = args.shards
 
         def local_fwd(params, pg_in, plan_in, key):
             shard = PartitionedGraph(*(leaf[0] for leaf in pg_in))
             my_key = jax.random.fold_in(key, jax.lax.axis_index("graph"))
-            halo = (plan_in.send_idx[0], plan_in.senders_ext[0])
+            halo = (plan_in.send_idx[0], plan_in.senders_ext[0],
+                    plan_in.meta, n_graph)
             return amp_gcn_forward_local(params, shard, cfg, my_key,
                                          halo=halo)[None]
 

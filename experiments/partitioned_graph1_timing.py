@@ -1,0 +1,122 @@
+"""VERDICT r4 weak #7: time the PARTITIONED fused path natively on the
+real chip, at graph=1 — fused_attention_aggregate + the r4 scatter-free
+backward have CPU parity tests but no recorded device timing. On a
+1-shard mesh the halo plan is empty (no remote senders -> zero live
+offsets -> zero collectives), so any ms/step delta vs the single-chip
+path (train/pallas_step.py::make_pallas_train_step) is pure shard_map
+plumbing + the aggregate-op body — expected ~0.
+
+Usage: python experiments/partitioned_graph1_timing.py [--iters 10]
+Prints one JSON line: {"partitioned_ms", "single_ms", "ratio", ...}.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import common  # noqa: E402,F401  (enables the persistent compile cache)
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+from ampnet_tpu.core.config import AMPGCNConfig  # noqa: E402
+from ampnet_tpu.core.graph import from_arrays  # noqa: E402
+from ampnet_tpu.models import AMPGCN  # noqa: E402
+from ampnet_tpu.parallel import (  # noqa: E402
+    build_halo_plan,
+    make_mesh,
+    make_partitioned_train_step,
+    partition_graph,
+    partition_layouts,
+)
+from ampnet_tpu.train import create_train_state, make_optimizer  # noqa: E402
+from ampnet_tpu.train.pallas_step import (  # noqa: E402
+    compute_layout,
+    default_edge_budget,
+    make_pallas_train_step,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    n_g, e = 2712, 10556
+    xf = (rng.random((n_g, 1433)) < 0.02).astype(np.float32)
+    xf[xf.sum(1) == 0, 0] = 1.0
+    ei = np.stack([rng.integers(0, n_g, e), rng.integers(0, n_g, e)])
+    g = from_arrays(xf, ei, y=rng.integers(0, 7, n_g),
+                    train_mask=np.ones(n_g, bool),
+                    node_norm=np.ones(n_g, np.float32))
+    cfg = AMPGCNConfig(dropout_rate=0.0, dropout_adj_rate=0.0)
+    model = AMPGCN(config=cfg)
+    k = jax.random.PRNGKey(0)
+    params = model.init({"params": k, "sample": k, "dropout": k, "edges": k},
+                        g, deterministic=True)["params"]
+
+    # --- single-chip path (the bench.py train_step protocol) ---
+    budget = default_edge_budget(g.num_edges_padded,
+                                 -(-g.num_nodes_padded // 256), slack=4.0)
+    layout1 = compute_layout(g, edges_per_tile=budget)
+    step1 = make_pallas_train_step(model, loss_mode="saint")
+    state = create_train_state(model, g, make_optimizer(1e-3), seed=0)
+    state, _ = step1(state, g, layout1)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, _ = step1(state, g, layout1)
+    jax.block_until_ready(state.params)
+    single_ms = (time.perf_counter() - t0) / args.iters * 1e3
+    print(f"single-chip fused step: {single_ms:.2f} ms", file=sys.stderr)
+
+    # --- partitioned path, graph=1 mesh: fused kernels AND XLA convs ---
+    mesh = make_mesh(data=1, graph=1)
+    pg = partition_graph(g, 1)
+    plan = build_halo_plan(pg)
+    assert plan.offsets == (), "graph=1 must have zero live offsets"
+    layouts = partition_layouts(pg, tile_nodes=256, halo_plan=plan)
+    tx = make_optimizer(1e-3)
+
+    results = {}
+    for label, use_pallas in (("fused", True), ("xla", False)):
+        opt_state = tx.init(params)
+        stepP = make_partitioned_train_step(
+            cfg, mesh, tx, loss_mode="saint", use_pallas=use_pallas,
+            tile_nodes=256, interpret=False, use_halo=True,
+        )
+        extra = (layouts, plan) if use_pallas else (plan,)
+        with mesh:
+            params2, opt_state, metrics = stepP(params, opt_state, pg, k,
+                                                *extra)
+            jax.block_until_ready(params2)
+            t0 = time.perf_counter()
+            for i in range(args.iters):
+                params2, opt_state, metrics = stepP(params2, opt_state, pg,
+                                                    jax.random.fold_in(k, i),
+                                                    *extra)
+            jax.block_until_ready(params2)
+        ms = (time.perf_counter() - t0) / args.iters * 1e3
+        results[label] = ms
+        print(f"partitioned (graph=1) {label} step: {ms:.2f} ms",
+              file=sys.stderr)
+
+    part_ms = results["fused"]
+    print(json.dumps({
+        "partitioned_fused_ms": round(part_ms, 2),
+        "partitioned_xla_ms": round(results["xla"], 2),
+        "single_ms": round(single_ms, 2),
+        "ratio": round(part_ms / single_ms, 3),
+        "shape": "full-batch Cora (N=2712, E=10556, S=20, D=128, H=4)",
+        "backward": "scatter-free (both paths)",
+        "loss_finite": bool(np.isfinite(float(metrics["loss"]))),
+        "note": "graph=1: empty halo plan (zero collectives) — delta is "
+                "shard_map plumbing + fused_attention_aggregate body",
+    }))
+
+
+if __name__ == "__main__":
+    main()

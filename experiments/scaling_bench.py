@@ -29,29 +29,37 @@ import numpy as np
 from ampnet_tpu.core.config import AMPGCNConfig
 from ampnet_tpu.core.graph import from_arrays
 from ampnet_tpu.models import AMPGCN
-from ampnet_tpu.parallel import make_mesh, make_partitioned_train_step, partition_graph
+from ampnet_tpu.parallel import (
+    build_halo_plan,
+    make_mesh,
+    make_partitioned_train_step,
+    partition_graph,
+)
 from ampnet_tpu.train.optim import make_optimizer
 
 
-def bench_shards(n_shards, g, cfg, params, iters=10):
+def bench_shards(n_shards, g, cfg, params, iters=10, use_halo=False):
     mesh = make_mesh(data=1, graph=n_shards)
     pg = partition_graph(g, n_shards)
     tx = make_optimizer(1e-3)
     opt_state = tx.init(params)
-    step = make_partitioned_train_step(cfg, mesh, tx, loss_mode="full")
+    step = make_partitioned_train_step(cfg, mesh, tx, loss_mode="full",
+                                       use_halo=use_halo)
+    extra = (build_halo_plan(pg),) if use_halo else ()
     with mesh:
-        params_, opt_state, _ = step(params, opt_state, pg, jax.random.PRNGKey(0))
+        params_, opt_state, _ = step(params, opt_state, pg,
+                                     jax.random.PRNGKey(0), *extra)
         jax.block_until_ready(params_)
         t0 = time.perf_counter()
         p, o = params, opt_state
         for i in range(iters):
-            p, o, m = step(p, o, pg, jax.random.PRNGKey(i))
+            p, o, m = step(p, o, pg, jax.random.PRNGKey(i), *extra)
         jax.block_until_ready(p)
     dt = (time.perf_counter() - t0) / iters
     return dt
 
 
-def main(max_shards=8, n=512, e=4096):
+def main(max_shards=8, n=512, e=4096, use_halo=False):
     rng = np.random.default_rng(0)
     f = 256
     x = (rng.random((n, f)) < 0.05).astype(np.float32)
@@ -72,7 +80,7 @@ def main(max_shards=8, n=512, e=4096):
     results = {}
     shard_counts = [s for s in (1, 2, 4, 8) if s <= max_shards and s <= len(jax.devices())]
     for s in shard_counts:
-        dt = bench_shards(s, g, cfg, params)
+        dt = bench_shards(s, g, cfg, params, use_halo=use_halo)
         results[s] = {"step_ms": dt * 1e3, "edges_per_s": e / dt}
         print(f"shards={s}: {dt*1e3:.2f} ms/step, {e/dt:.0f} edges/s")
     if 1 in results:
@@ -88,5 +96,8 @@ def main(max_shards=8, n=512, e=4096):
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--max-shards", type=int, default=8)
+    p.add_argument("--halo", action="store_true",
+                   help="boundary-only halo exchange (the scale-out "
+                        "default) instead of the all-gather path")
     a = p.parse_args()
-    main(a.max_shards)
+    main(a.max_shards, use_halo=a.halo)
