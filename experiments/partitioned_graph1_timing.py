@@ -104,12 +104,43 @@ def main():
         print(f"partitioned (graph=1) {label} step: {ms:.2f} ms",
               file=sys.stderr)
 
+        # device-loop variant: chain k steps inside ONE dispatch — if the
+        # host-loop number above is dispatch-bound (relay per-call cost on
+        # multi-device executables), this one is the true device time
+        @jax.jit
+        def multi(params, opt_state, pg_in, key, k_steps, *ex):
+            def body(i, carry):
+                p, o = carry
+                p, o, _ = stepP(p, o, pg_in, jax.random.fold_in(key, i), *ex)
+                return (p, o)
+            return jax.lax.fori_loop(0, k_steps, body, (params, opt_state))
+
+        with mesh:
+            out = multi(params, opt_state, pg, k, 2, *extra)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            out = multi(params, opt_state, pg, jax.random.fold_in(k, 7), 3,
+                        *extra)
+            jax.block_until_ready(out)
+            t1 = time.perf_counter()
+            out = multi(params, opt_state, pg, jax.random.fold_in(k, 8), 13,
+                        *extra)
+            jax.block_until_ready(out)
+            t2 = time.perf_counter()
+        dev_ms = ((t2 - t1) - (t1 - t0)) / 10 * 1e3
+        results[label + "_deviceloop"] = dev_ms
+        print(f"partitioned (graph=1) {label} DEVICE-LOOP step: "
+              f"{dev_ms:.2f} ms", file=sys.stderr)
+
     part_ms = results["fused"]
     print(json.dumps({
         "partitioned_fused_ms": round(part_ms, 2),
+        "partitioned_fused_deviceloop_ms": round(results["fused_deviceloop"], 2),
         "partitioned_xla_ms": round(results["xla"], 2),
+        "partitioned_xla_deviceloop_ms": round(results["xla_deviceloop"], 2),
         "single_ms": round(single_ms, 2),
         "ratio": round(part_ms / single_ms, 3),
+        "ratio_deviceloop": round(results["fused_deviceloop"] / single_ms, 3),
         "shape": "full-batch Cora (N=2712, E=10556, S=20, D=128, H=4)",
         "backward": "scatter-free (both paths)",
         "loss_finite": bool(np.isfinite(float(metrics["loss"]))),
