@@ -106,45 +106,55 @@ def _dkv_group_math(qdmbuf, kvbuf_ref, *, g, sp, s, d, num_heads, softmax,
                     scale):
     """Per-group dK|dV math: recompute scores/softmax from the packed
     [Q | dMsg] gather, then dV = W^T dMsg, dS = softmax-bwd(dMsg V^T),
-    dK = dS^T Q * scale. Returns dkv_g [G*SP, 2D] f32."""
+    dK = dS^T Q * scale. Returns dkv_g [G*SP, 2D] f32.
+
+    Everything runs in the TRANSPOSED score layout [G, SPk, SPq]
+    (scoresT = K Q^T, softmax over the SUBLANE axis): the sender-side
+    gradients contract over the QUERY-token axis, and in the straight
+    layout those dV/dW^T dots were dim1-x-dim1 contractions that Mosaic
+    lowers with a 3-D relayout per head per group — measured 5.5x pass
+    R's per-dot cost at Cora shapes (experiments/bwd_s_probe.py; same
+    relayout class probe10/r3 measured). In the transposed layout all
+    four dots are native MXU orientations and no transpose is emitted.
+    """
     dh = d // num_heads
     dtype = kvbuf_ref.dtype
     qdm3 = qdmbuf.reshape(g, sp, 2 * d)
     kv3 = kvbuf_ref[:].reshape(g, sp, 2 * d)
-    col_tok3 = jax.lax.broadcasted_iota(jnp.int32, (g, sp, sp), 2)
-    kmask = col_tok3 < s
+    # k tokens are ROWS here: mask/normalize over axis 1
+    row_tok3 = jax.lax.broadcasted_iota(jnp.int32, (g, sp, sp), 1)
+    rmask = row_tok3 < s
     dk_heads, dv_heads = [], []
     for h in range(num_heads):
         qh = qdm3[:, :, h * dh : (h + 1) * dh]
         dmh = qdm3[:, :, d + h * dh : d + (h + 1) * dh]
         kh = kv3[:, :, h * dh : (h + 1) * dh]
         vh = kv3[:, :, d + h * dh : d + (h + 1) * dh]
-        scores = jax.lax.dot_general(
-            qh * jnp.asarray(scale, dtype), kh,
+        scores_t = jax.lax.dot_general(
+            kh, qh * jnp.asarray(scale, dtype),
             (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
-        )  # [G, SPq, SPk]
+        )  # [G, SPk, SPq]
         if softmax:
-            scores = jnp.where(kmask, scores, -jnp.inf)
-            mx = jnp.max(scores, axis=2, keepdims=True)
-            ex = jnp.exp(scores - mx)
-            w = ex / jnp.sum(ex, axis=2, keepdims=True)
+            scores_t = jnp.where(rmask, scores_t, -jnp.inf)
+            mx = jnp.max(scores_t, axis=1, keepdims=True)
+            ex = jnp.exp(scores_t - mx)
+            w_t = ex / jnp.sum(ex, axis=1, keepdims=True)
         else:
-            w = jnp.where(kmask, scores, 0.0)
-        wt = w.astype(dtype)
+            w_t = jnp.where(rmask, scores_t, 0.0)
         dv_heads.append(jax.lax.dot_general(
-            wt, dmh, (((1,), (1,)), ((0,), (0,))),
+            w_t.astype(dtype), dmh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ))  # [G, SPk, dh]
-        dwm = jax.lax.dot_general(
-            dmh, vh, (((2,), (2,)), ((0,), (0,))),
+        dwm_t = jax.lax.dot_general(
+            vh, dmh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [G, SPq, SPk]
+        )  # [G, SPk, SPq]
         if softmax:
-            ds = w * (dwm - jnp.sum(dwm * w, axis=2, keepdims=True))
+            ds_t = w_t * (dwm_t - jnp.sum(dwm_t * w_t, axis=1, keepdims=True))
         else:
-            ds = jnp.where(kmask, dwm, 0.0)
+            ds_t = jnp.where(rmask, dwm_t, 0.0)
         dk_heads.append(jax.lax.dot_general(
-            ds.astype(dtype), qh, (((1,), (1,)), ((0,), (0,))),
+            ds_t.astype(dtype), qh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale)  # [G, SPk, dh]
     return jnp.concatenate(dk_heads + dv_heads, axis=2).reshape(g * sp, 2 * d)
@@ -374,7 +384,8 @@ def _dkv_kernel_dma(
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "softmax", "tile_nodes", "group",
-                     "num_tiles", "emax", "s", "gather", "interpret"),
+                     "num_tiles", "emax", "s", "gather", "interpret",
+                     "vmem_limit_mb"),
 )
 def fused_edge_bwd_dq(
     q_rows: jnp.ndarray,      # [Nt*SP, D]
@@ -387,7 +398,7 @@ def fused_edge_bwd_dq(
     *,
     num_heads: int, softmax: bool, tile_nodes: int, group: int,
     num_tiles: int, emax: int, s: int, gather: str = "vmem",
-    interpret: bool = False,
+    interpret: bool = False, vmem_limit_mb: int = 100,
 ):
     """Pass R: dQ accumulated per local receiver row. Returns dq_rows
     [Nt*SP, D] f32 — no dK|dV stream (pass S handles that side)."""
@@ -440,7 +451,7 @@ def fused_edge_bwd_dq(
         out_shape=jax.ShapeDtypeStruct((num_tiles * tn * sp, d), jnp.float32),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
         ),
         interpret=interpret,
     )(ngroups, tile_senders, tile_recv, tile_valid, q_rows, kv_rows,
@@ -450,7 +461,8 @@ def fused_edge_bwd_dq(
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "softmax", "tile_nodes", "group",
-                     "num_tiles", "emax", "s", "gather", "interpret"),
+                     "num_tiles", "emax", "s", "gather", "interpret",
+                     "vmem_limit_mb"),
 )
 def fused_edge_bwd_dkv(
     qdm_rows: jnp.ndarray,    # [Nt*SP, 2D] packed [Q | dMsg]
@@ -462,7 +474,7 @@ def fused_edge_bwd_dkv(
     *,
     num_heads: int, softmax: bool, tile_nodes: int, group: int,
     num_tiles: int, emax: int, s: int, gather: str = "vmem",
-    interpret: bool = False,
+    interpret: bool = False, vmem_limit_mb: int = 100,
 ):
     """Pass S: dK|dV accumulated per local SENDER row over the transposed
     layout. Returns dkv_rows [Nt*SP, 2D] f32 in global node-row order
@@ -514,7 +526,7 @@ def fused_edge_bwd_dkv(
                                        jnp.float32),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
         ),
         interpret=interpret,
     )(ngroups, snd_receivers, snd_local, snd_valid, qdm_rows, kv_rows)

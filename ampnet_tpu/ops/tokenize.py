@@ -6,7 +6,8 @@ device-resident ops:
 
   * uniform-over-present-features sampling WITH replacement
     (amp_gcn.py:132-135: np.random.choice over nonzero indices)
-    == categorical over a masked uniform-logits matrix;
+    == inverse-CDF lookup over masked uniform weights (13.6x the
+    Gumbel-max categorical on chip — experiments/frontend_probe.py);
   * balanced 50/50 present/absent sampling WITHOUT replacement
     (amp_gcn.py:208-231) == Gumbel top-k over weighted logits
     (Plackett-Luce — the same distribution np.random.choice(replace=False,
@@ -71,6 +72,34 @@ def standardize(
     return (x - mean) / scale
 
 
+def _inverse_cdf_sample(
+    key: jax.Array,
+    weights: jnp.ndarray,  # [N, F] nonnegative, every row sum > 0
+    num_samples: int,
+) -> jnp.ndarray:
+    """Weighted sampling WITH replacement via inverse-CDF lookup.
+
+    Draws only N*S uniforms and counts CDF entries below each target —
+    the comparison fuses into one reduction, no [N, S, F] materialized.
+    The previous jax.random.categorical formulation Gumbel-max'd a full
+    [N, S, F] logits broadcast (~78M draws + argmax at Cora shapes) and
+    measured 2.16 ms/call on chip vs 0.16 ms for this one
+    (experiments/frontend_probe.py); the distributions are identical.
+
+    Zero-weight features are never selected: idx = #{j : cdf_j <= tgt}
+    is the first index whose cdf strictly exceeds tgt, and cdf only
+    increases at positive-weight entries (a boundary-exact tgt skips
+    the zero-weight run to the next positive feature). The final clamp
+    guards the measure-zero f32 case tgt == total.
+    """
+    cdf = jnp.cumsum(weights, axis=1)                     # [N, F]
+    u = jax.random.uniform(key, (weights.shape[0], num_samples))
+    tgt = u * cdf[:, -1:]                                 # [N, S) in [0,total)
+    idx = jnp.sum((cdf[:, None, :] <= tgt[:, :, None]).astype(jnp.int32),
+                  axis=-1)
+    return jnp.minimum(idx, weights.shape[1] - 1).astype(jnp.int32)
+
+
 def sample_present_features(
     key: jax.Array,
     x: jnp.ndarray,
@@ -84,8 +113,8 @@ def sample_present_features(
     """
     present = x != 0  # [N, F]
     any_present = jnp.any(present, axis=1, keepdims=True)
-    logits = jnp.where(present | ~any_present, 0.0, _NEG_INF)
-    return jax.random.categorical(key, logits[:, None, :], axis=-1, shape=(x.shape[0], num_samples)).astype(jnp.int32)
+    weights = jnp.where(present | ~any_present, 1.0, 0.0)
+    return _inverse_cdf_sample(key, weights, num_samples)
 
 
 def tfidf_sample_features(
@@ -114,11 +143,9 @@ def tfidf_sample_features(
     idf = jnp.log(n_real / (1.0 + df))
     weights = jnp.abs(x) * jnp.maximum(idf, 1e-3)[None, :]
     any_present = jnp.any(present, axis=1, keepdims=True)
-    logw = jnp.where(present, jnp.log(jnp.maximum(weights, 1e-30)), _NEG_INF)
-    logw = jnp.where(any_present, logw, 0.0)            # empty nodes: uniform
-    return jax.random.categorical(
-        key, logw[:, None, :], axis=-1, shape=(n, num_samples)
-    ).astype(jnp.int32)
+    weights = jnp.where(present, weights, 0.0)
+    weights = jnp.where(any_present, weights, 1.0)      # empty nodes: uniform
+    return _inverse_cdf_sample(key, weights, num_samples)
 
 
 def balanced_sample_features(
