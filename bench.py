@@ -342,17 +342,41 @@ def main():
             for i in range(iters):
                 state, _ = step(state, graphs[i % 4], layouts[i % 4])
             jax.block_until_ready(state.params)
-            step_ms = (time.perf_counter() - t0) / iters * 1e3
+            host_ms = (time.perf_counter() - t0) / iters * 1e3
+
+            # device-loop protocol: chain k steps inside ONE dispatch and
+            # difference two never-seen k values — the host loop above
+            # pays per-dispatch relay overhead that swings 20->74 ms/step
+            # between sessions (RESULTS.md r5); state.rng advances every
+            # step so the loop body cannot be CSE'd
+            @jax.jit
+            def multi(st, k):
+                def body(i, st):
+                    st2, _ = step(st, graphs[0], layouts[0])
+                    return st2
+                return jax.lax.fori_loop(0, k, body, st)
+
+            jax.block_until_ready(multi(state, 2).params)
+            t0 = time.perf_counter()
+            jax.block_until_ready(multi(state, 3).params)
+            t1 = time.perf_counter()
+            jax.block_until_ready(multi(state, 13).params)
+            t2 = time.perf_counter()
+            step_ms = ((t2 - t1) - (t1 - t0)) / 10 * 1e3
+            if not (0 < step_ms < host_ms * 2):
+                step_ms = host_ms  # jitter guard: fall back to host loop
             # step model: 2 convs x 3 (fwd + bwd ~ 2x fwd); frontend/head
             # are <2% of FLOPs at these shapes and are left out
             fl, by = conv_flops_bytes(n_g, e, 20, 128)
             train_step = {
                 "ms_per_step": round(step_ms, 2),
+                "ms_per_step_hostloop": round(host_ms, 2),
                 "shape": "full-batch Cora (N=2712, E=10556, S=20, D=128, H=4)",
-                "backward": "scatter-free two-pass (r4)",
+                "backward": "scatter-free two-pass, transposed dKV layout (r5)",
                 "roofline": roofline(6 * fl, 6 * by, step_ms / 1e3),
             }
-            print(f"bench: fused train step {step_ms:.2f} ms", file=sys.stderr)
+            print(f"bench: fused train step {step_ms:.2f} ms device-loop "
+                  f"({host_ms:.2f} host-loop)", file=sys.stderr)
         except Exception as err:
             print(f"train-step timing failed: {type(err).__name__}: {err}",
                   file=sys.stderr)
