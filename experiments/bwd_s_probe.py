@@ -132,12 +132,12 @@ def main():
         return run
 
     rows = [
-        ("s_g32_nosoftmax", mk_s(32, False)),
-        ("s_g64", mk_s(64, True, vmem_mb=112)),
-        ("s_g96", mk_s(96, True, vmem_mb=120)),
-        ("r_g32", mk_r(32, True)),
-        ("r_g32_nosoftmax", mk_r(32, False)),
         ("s_g32", mk_s(32, True)),
+        ("s_g64", mk_s(64, True, vmem_mb=112)),
+        ("r_g32", mk_r(32, True)),
+        ("r_g64", mk_r(64, True)),
+        ("s_g32_b", mk_s(32, True)),   # repeat rows bracket session drift
+        ("s_g64_b", mk_s(64, True, vmem_mb=112)),
     ]
     for name, run in rows:
         try:
