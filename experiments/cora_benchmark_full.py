@@ -27,6 +27,11 @@ def main(epochs=150, run_base="runs", tuned=False, raw_residual=False,
             scaler="precomputed",
             dropout_rate=0.3 if raw_residual else 0.1,
             raw_residual="gcn2" if raw_residual else False,
+            # fused kernels: exact-parity tested vs the XLA convs; the
+            # production step is 29.5 ms device-loop at these shapes
+            # (experiments/production_step_probe.py) vs ~3 s/epoch
+            # wall for the XLA path through this driver (r5)
+            use_pallas=True,
         )
         model = AMPGCN(config=cfg, scaler_stats=fit_scaler(np.asarray(d.x)))
     else:
