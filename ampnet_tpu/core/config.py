@@ -174,6 +174,14 @@ class TrainConfig:
     # L2 weight decay dominates and the model collapses, diagnosed r2);
     # 'mean' = weight-normalized O(1)-scale variant (stabilized recipe).
     saint_loss: str = "sum"
+    # full-batch loop: fold K epochs into ONE jitted lax.scan dispatch
+    # (train/state.py::make_scan_train_step) — identical math/PRNG
+    # stream, per-epoch history preserved from the stacked metrics, but
+    # the per-dispatch host overhead is paid once per K epochs. K is
+    # clipped (gcd) to divide select_best_every / checkpoint_every so
+    # eval & checkpoint cadences land on dispatch boundaries; 1 = the
+    # reference's per-step eager behavior. Ignored when profiling.
+    epochs_per_dispatch: int = 1
     # >0: capture a jax.profiler trace of this many optimizer steps
     # (skipping the compile step) into <run_dir>/profile — viewable in
     # TensorBoard/Perfetto. The reference has no profiler (SURVEY §5.1).

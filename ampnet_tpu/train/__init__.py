@@ -10,6 +10,7 @@ from ampnet_tpu.train.losses import (
 from ampnet_tpu.train.state import (
     TrainState,
     create_train_state,
+    make_scan_train_step,
     make_train_step,
     make_eval_step,
     split_rngs,
@@ -35,6 +36,7 @@ __all__ = [
     "masked_accuracy",
     "TrainState",
     "create_train_state",
+    "make_scan_train_step",
     "make_train_step",
     "make_eval_step",
     "split_rngs",

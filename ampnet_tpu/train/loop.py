@@ -31,6 +31,7 @@ from ampnet_tpu.train.state import (
     TrainState,
     create_train_state,
     make_eval_step,
+    make_scan_train_step,
     make_train_step,
 )
 
@@ -127,24 +128,53 @@ def train_full_batch(
         if best_params is not None:
             log.log(f"restored banked best (val acc {best_val:.4f})")
     tracer = _tracer(cfg, log)
+
+    # cfg.epochs_per_dispatch > 1: scan k epochs per device dispatch
+    # (make_scan_train_step — same math/PRNG stream, per-epoch rows from
+    # the stacked metrics). k is clipped via gcd to divide the eval /
+    # checkpoint cadences so those actions still land exactly on their
+    # epochs; the tail (epochs % k) runs through the per-step path.
+    # Per-step profiling keeps k=1 (a scan body has no step boundaries).
+    k = max(1, int(getattr(cfg, "epochs_per_dispatch", 1)))
+    if tracer is not None:
+        k = 1
+    if k > 1:
+        import math as _math
+
+        for cadence in (cfg.select_best_every,
+                        cfg.checkpoint_every if cfg.run_dir else 0):
+            if cadence:
+                k = _math.gcd(k, cadence)
+    scan_step = (make_scan_train_step(model, loss_mode="full", num_steps=k)
+                 if k > 1 else None)
+
     t0 = time.time()
-    for epoch in range(start_epoch, cfg.epochs):
-        if tracer:
-            tracer.before_step()
-        state, metrics = train_step(state, graph, layout)
-        if tracer:
-            tracer.after_step(block_on=metrics)
-        row = {k: float(v) for k, v in metrics.items()}
-        row["epoch"] = epoch
-        history.append(row)
-        if epoch % cfg.log_every == 0:
-            log.log(
-                f"Epoch {epoch:4d} | loss {row['loss']:.4f} | "
-                f"train acc {row.get('train_acc', float('nan')):.4f} | "
-                f"test acc {row.get('test_acc', float('nan')):.4f}"
-            )
+    epoch = start_epoch
+    while epoch < cfg.epochs:
+        if scan_step is not None and epoch + k <= cfg.epochs:
+            state, stacked = scan_step(state, graph, layout)
+            stacked = {kk: np.asarray(v) for kk, v in stacked.items()}
+            rows = [{kk: float(v[i]) for kk, v in stacked.items()}
+                    for i in range(k)]
+        else:
+            if tracer:
+                tracer.before_step()
+            state, metrics = train_step(state, graph, layout)
+            if tracer:
+                tracer.after_step(block_on=metrics)
+            rows = [{kk: float(v) for kk, v in metrics.items()}]
+        for j, row in enumerate(rows):
+            row["epoch"] = epoch + j
+            history.append(row)
+            if (epoch + j) % cfg.log_every == 0:
+                log.log(
+                    f"Epoch {epoch + j:4d} | loss {row['loss']:.4f} | "
+                    f"train acc {row.get('train_acc', float('nan')):.4f} | "
+                    f"test acc {row.get('test_acc', float('nan')):.4f}"
+                )
+        epoch += len(rows)
         if (cfg.select_best_every and eval_graph.val_mask is not None
-                and (epoch + 1) % cfg.select_best_every == 0):
+                and epoch % cfg.select_best_every == 0):
             m = eval_step(state.params, eval_graph, jax.random.PRNGKey(cfg.seed + 7),
                           eval_layout)
             va = float(m.get("val_acc", -1.0))
@@ -154,13 +184,13 @@ def train_full_batch(
                 if cfg.run_dir:
                     save_checkpoint(
                         os.path.join(cfg.run_dir, "checkpoint_best.pkl"),
-                        state.replace(params=best_params), epoch, None,
+                        state.replace(params=best_params), epoch - 1, None,
                         extra={"best_val_acc": best_val},
                     )
-        if cfg.run_dir and cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
+        if cfg.run_dir and cfg.checkpoint_every and epoch % cfg.checkpoint_every == 0:
             save_checkpoint(
-                os.path.join(cfg.run_dir, f"checkpoint_ep{epoch}.pkl"),
-                state, epoch, row["loss"],
+                os.path.join(cfg.run_dir, f"checkpoint_ep{epoch - 1}.pkl"),
+                state, epoch - 1, rows[-1]["loss"],
             )
     if tracer:
         tracer.close()

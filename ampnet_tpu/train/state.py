@@ -51,19 +51,13 @@ def create_train_state(
     )
 
 
-def make_train_step(
+def _train_step_body(
     model: nn.Module,
-    loss_mode: str = "full",  # 'full' | 'saint'
-) -> Callable[[TrainState, Graph], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
-    """Build a jitted training step.
-
-    loss_mode='full':       masked mean NLL (cora_benchmark_full.py:64)
-    loss_mode='saint':      node_norm-weighted NLL sum
-                            (cora_benchmark_graphsaint.py:105-106)
-    loss_mode='saint_mean': node_norm-weighted NLL mean — the stabilized
-                            recipe's O(1)-scale variant (see
-                            losses.saint_weighted_mean_nll)
-    """
+    loss_mode: str = "full",
+) -> Callable[[TrainState, Graph, Any], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """The un-jitted step body shared by make_train_step (one jitted call
+    per step) and make_scan_train_step (k steps per dispatch via
+    lax.scan)."""
 
     def loss_from_output(out_logits, graph: Graph):
         tm = graph.train_mask & graph.node_mask
@@ -73,7 +67,6 @@ def make_train_step(
             return saint_weighted_mean_nll(out_logits, graph.y, graph.node_norm, tm)
         return masked_mean_nll(out_logits, graph.y, tm)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, graph: Graph, layout=None):
         new_rng, rngs = split_rngs(state.rng)
 
@@ -105,6 +98,51 @@ def make_train_step(
         return new_state, metrics
 
     return step
+
+
+def make_train_step(
+    model: nn.Module,
+    loss_mode: str = "full",  # 'full' | 'saint'
+) -> Callable[[TrainState, Graph], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build a jitted training step.
+
+    loss_mode='full':       masked mean NLL (cora_benchmark_full.py:64)
+    loss_mode='saint':      node_norm-weighted NLL sum
+                            (cora_benchmark_graphsaint.py:105-106)
+    loss_mode='saint_mean': node_norm-weighted NLL mean — the stabilized
+                            recipe's O(1)-scale variant (see
+                            losses.saint_weighted_mean_nll)
+    """
+    return functools.partial(jax.jit, donate_argnums=(0,))(
+        _train_step_body(model, loss_mode)
+    )
+
+
+def make_scan_train_step(
+    model: nn.Module,
+    loss_mode: str = "full",
+    num_steps: int = 8,
+) -> Callable[[TrainState, Graph], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """k optimizer steps in ONE device dispatch via lax.scan.
+
+    Bitwise-identical to k calls of make_train_step's step on the same
+    (static) graph — the carried PRNG advances through the same
+    split_rngs stream — but with the per-dispatch host overhead
+    (r5 step decomposition: ~3.8 ms/step through this environment's
+    relay) paid once per k steps. Metric leaves come back stacked
+    [num_steps, ...], one row per epoch, so the host loop's per-epoch
+    history is preserved exactly. The reference has no analogue (its
+    torch loop is eager per-step)."""
+    body = _train_step_body(model, loss_mode)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi(state: TrainState, graph: Graph, layout=None):
+        def f(st, _):
+            return body(st, graph, layout)
+
+        return jax.lax.scan(f, state, None, length=num_steps)
+
+    return multi
 
 
 def make_eval_step(

@@ -12,7 +12,7 @@ from ampnet_tpu.train import Logfile, create_run_dir, train_full_batch
 
 
 def main(epochs=150, run_base="runs", tuned=False, raw_residual=False,
-         profile_steps=0):
+         profile_steps=0, epochs_per_dispatch=0):
     d, g = cora_graph()
     if tuned or raw_residual:
         # framework recipe: tfidf S=40, dataset-level scaler stats,
@@ -49,6 +49,12 @@ def main(epochs=150, run_base="runs", tuned=False, raw_residual=False,
         select_best_every=10 if (tuned or raw_residual) else 0,
         num_eval_samples=8 if (tuned or raw_residual) else 1,
         profile_steps=profile_steps,
+        # tuned/hybrid recipe: scan 10 epochs per dispatch (= the eval /
+        # checkpoint cadence, so boundaries align) — identical math
+        # (tests/test_scan_loop.py), ~0 per-epoch host overhead
+        epochs_per_dispatch=(
+            epochs_per_dispatch or (10 if (tuned or raw_residual) else 1)
+        ),
     )
     log = Logfile(f"{run_dir}/_details.txt")
     result = train_full_batch(model, g, tcfg, log=log)
@@ -67,6 +73,9 @@ if __name__ == "__main__":
     p.add_argument("--profile", type=int, default=0, metavar="N",
                    help="capture a jax.profiler trace of N post-compile "
                         "epochs into <run_dir>/profile")
+    p.add_argument("--epochs-per-dispatch", type=int, default=0, metavar="K",
+                   help="scan K epochs per device dispatch (0 = recipe "
+                        "default: 10 for --tuned/--raw-residual, else 1)")
     a = p.parse_args()
     main(a.epochs, tuned=a.tuned, raw_residual=a.raw_residual,
-         profile_steps=a.profile)
+         profile_steps=a.profile, epochs_per_dispatch=a.epochs_per_dispatch)
