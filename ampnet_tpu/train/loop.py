@@ -151,7 +151,12 @@ def train_full_batch(
     t0 = time.time()
     epoch = start_epoch
     while epoch < cfg.epochs:
-        if scan_step is not None and epoch + k <= cfg.epochs:
+        # chunks must start k-aligned or a cadence boundary could fall
+        # mid-scan (resume points land on checkpoint boundaries, which k
+        # divides, so misalignment only arises from hand-built states —
+        # eager steps close the gap)
+        if (scan_step is not None and epoch % k == 0
+                and epoch + k <= cfg.epochs):
             state, stacked = scan_step(state, graph, layout)
             stacked = {kk: np.asarray(v) for kk, v in stacked.items()}
             rows = [{kk: float(v[i]) for kk, v in stacked.items()}
